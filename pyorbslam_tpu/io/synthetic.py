@@ -1,0 +1,225 @@
+"""Synthetic textured stereo-world generator.
+
+The reference validates end-to-end against KITTI sequences
+(stereo_kitti.py); no KITTI data ships with this machine, so integration
+tests and benchmarks render a deterministic synthetic "corridor" world —
+textured ground + side walls — from known camera trajectories.  The
+renderer produces imagery with dense FAST-detectable corners and exact
+ground-truth poses, which is what the accuracy gates actually need.
+
+Conventions match the tracker: camera frame is x-right / y-down /
+z-forward; the world frame equals the first left-camera frame; poses are
+``Twc`` (camera -> world).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def make_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
+    """Procedural corner-rich texture in [0, 255] float32.
+
+    Multi-octave value noise plus thresholded blobs: the hard blob edges
+    create strong FAST corners at many scales, similar in spirit to the
+    road/brick texture statistics the ORB front end sees on KITTI.
+    """
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size), np.float32)
+    for octave, amp in [(8, 0.25), (16, 0.35), (32, 0.5), (64, 0.6), (128, 0.4)]:
+        coarse = rng.random((octave, octave)).astype(np.float32)
+        reps = size // octave
+        up = np.kron(coarse, np.ones((reps, reps), np.float32))
+        # cheap smoothing so blobs are roundish but edges stay crisp after threshold
+        up = (up + np.roll(up, reps // 2, 0) + np.roll(up, reps // 2, 1)) / 3.0
+        tex += amp * (up > 0.55).astype(np.float32)
+        tex += 0.15 * amp * up
+    # fine speckle so every 31x31 patch has gradient
+    tex += 0.15 * rng.random((size, size)).astype(np.float32)
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-6)
+    return (30.0 + 200.0 * tex).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Plane:
+    p0: np.ndarray      # a point on the plane (3,)
+    n: np.ndarray       # unit normal (3,)
+    e1: np.ndarray      # in-plane texture axes (3,)
+    e2: np.ndarray
+    tex_scale: float    # texture pixels per meter
+
+
+def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7) -> List[Plane]:
+    def P(p0, n, e1, e2, s):
+        return Plane(np.array(p0, np.float64), np.array(n, np.float64),
+                     np.array(e1, np.float64), np.array(e2, np.float64), s)
+    half = width_m / 2.0
+    return [
+        P([0, ground_y, 0], [0, -1, 0], [1, 0, 0], [0, 0, 1], 48.0),   # ground
+        P([-half, 0, 0], [1, 0, 0], [0, 0, 1], [0, 1, 0], 32.0),       # left wall
+        P([half, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 1, 0], 32.0),       # right wall
+        P([0, -6.0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1], 16.0),        # ceiling
+    ]
+
+
+def _sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    size = tex.shape[0]
+    u = np.mod(u, size)
+    v = np.mod(v, size)
+    u0 = np.floor(u).astype(np.int64) % size
+    v0 = np.floor(v).astype(np.int64) % size
+    u1 = (u0 + 1) % size
+    v1 = (v0 + 1) % size
+    fu = (u - np.floor(u)).astype(np.float32)
+    fv = (v - np.floor(v)).astype(np.float32)
+    a = tex[v0, u0] * (1 - fu) + tex[v0, u1] * fu
+    b = tex[v1, u0] * (1 - fu) + tex[v1, u1] * fu
+    return a * (1 - fv) + b * fv
+
+
+def render_view(
+    Twc: np.ndarray,
+    K: np.ndarray,
+    width: int,
+    height: int,
+    planes: List[Plane],
+    tex: np.ndarray,
+) -> np.ndarray:
+    """Ray-cast one camera view -> float32 HxW grayscale in [0, 255]."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    dirs_c = np.stack(
+        [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], axis=-1
+    )
+    Rwc = Twc[:3, :3]
+    o = Twc[:3, 3]
+    dirs_w = dirs_c @ Rwc.T  # (H, W, 3)
+
+    best_t = np.full((height, width), np.inf)
+    img = np.full((height, width), 90.0, np.float32)  # sky fallback
+    for pl in planes:
+        denom = dirs_w @ pl.n
+        num = (pl.p0 - o) @ pl.n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(np.abs(denom) > 1e-9, num / denom, np.inf)
+        hit = (t > 0.05) & (t < best_t) & (t < 400.0)
+        if not hit.any():
+            continue
+        pts = o + dirs_w[hit] * t[hit, None]
+        rel = pts - pl.p0
+        tu = rel @ pl.e1 * pl.tex_scale
+        tv = rel @ pl.e2 * pl.tex_scale
+        vals = _sample_bilinear(tex, tu, tv)
+        # mild distance attenuation for depth cueing
+        vals = vals / (1.0 + 0.0015 * t[hit])
+        img[hit] = vals.astype(np.float32)
+        best_t[hit] = t[hit]
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def straight_trajectory(n_frames: int, speed: float = 1.0, yaw_amp: float = 0.04) -> np.ndarray:
+    """Forward motion with gentle sinusoidal yaw -> (N, 4, 4) Twc."""
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    x = z = yaw = 0.0
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i, 0, 3] = x
+        poses[i, 2, 3] = z
+        yaw += yaw_amp * np.sin(2 * np.pi * i / max(n_frames, 1))
+        x += speed * np.sin(yaw)
+        z += speed * np.cos(yaw)
+    return poses
+
+
+def loop_trajectory(n_frames: int, radius: float = 18.0) -> np.ndarray:
+    """A full circle returning to the start (for loop-closure tests)."""
+    poses = np.tile(np.eye(4), (n_frames, 1, 1))
+    for i in range(n_frames):
+        ang = 2 * np.pi * i / n_frames
+        # camera center moves on a circle in the x-z plane, heading tangent
+        cxp = radius * np.sin(ang)
+        czp = radius * (1 - np.cos(ang))
+        yaw = ang
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i, 0, 3] = cxp
+        poses[i, 2, 3] = czp
+    return poses
+
+
+@dataclasses.dataclass
+class SyntheticSequence:
+    left: np.ndarray        # (N, H, W) float32
+    right: np.ndarray
+    poses_wc: np.ndarray    # (N, 4, 4) ground-truth Twc (left camera)
+    K: np.ndarray           # (3, 3)
+    baseline: float         # meters
+    timestamps: np.ndarray  # (N,)
+
+    @property
+    def bf(self) -> float:
+        return float(self.K[0, 0] * self.baseline)
+
+
+def generate_sequence(
+    n_frames: int = 120,
+    width: int = 640,
+    height: int = 192,
+    baseline: float = 0.54,
+    trajectory: str = "straight",
+    speed: float = 1.0,
+    seed: int = 0,
+    cache_dir: Optional[str] = None,
+) -> SyntheticSequence:
+    """Render (and optionally disk-cache) a synthetic stereo sequence."""
+    fx = 0.58 * width  # KITTI-like FOV
+    K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
+    key = f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}_v3"
+    cache_path = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        h = hashlib.md5(key.encode()).hexdigest()[:16]
+        cache_path = os.path.join(cache_dir, f"synth_{h}.npz")
+        if os.path.exists(cache_path):
+            d = np.load(cache_path)
+            return SyntheticSequence(
+                left=d["left"], right=d["right"], poses_wc=d["poses"],
+                K=d["K"], baseline=float(d["baseline"]), timestamps=d["times"],
+            )
+
+    tex = make_texture(1024, seed=seed)
+    planes = corridor_scene()
+    if trajectory == "straight":
+        poses = straight_trajectory(n_frames, speed=speed)
+    elif trajectory == "loop":
+        poses = loop_trajectory(n_frames)
+    else:
+        raise ValueError(f"unknown trajectory {trajectory!r}")
+
+    lefts = np.empty((n_frames, height, width), np.float32)
+    rights = np.empty((n_frames, height, width), np.float32)
+    right_offset = np.array([baseline, 0.0, 0.0])
+    for i in range(n_frames):
+        Twc = poses[i]
+        lefts[i] = render_view(Twc, K, width, height, planes, tex)
+        Twc_r = Twc.copy()
+        Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ right_offset
+        rights[i] = render_view(Twc_r, K, width, height, planes, tex)
+
+    times = np.arange(n_frames, dtype=np.float64) * 0.1
+    if cache_path is not None:
+        np.savez_compressed(
+            cache_path, left=lefts, right=rights, poses=poses, K=K,
+            baseline=baseline, times=times,
+        )
+    return SyntheticSequence(
+        left=lefts, right=rights, poses_wc=poses, K=K,
+        baseline=baseline, timestamps=times,
+    )

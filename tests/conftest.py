@@ -1,0 +1,41 @@
+"""Test configuration: force CPU JAX with 8 virtual devices so sharding
+tests exercise multi-chip paths without TPU hardware (the driver validates
+the real multi-chip path separately via __graft_entry__.dryrun_multichip)."""
+
+import os
+
+# Force-override: the session environment pins JAX to the TPU backend (a
+# sitecustomize hook registers it and sets jax_platforms); tests must run
+# on the virtual 8-device CPU mesh.  The env var alone is not enough — the
+# hook overrides it at import — so also update the config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def data_cache_dir():
+    path = os.path.join(os.path.dirname(__file__), "_data")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@pytest.fixture(scope="session")
+def synth_seq(data_cache_dir):
+    """A short synthetic stereo sequence shared across integration tests."""
+    from pyorbslam_tpu.io.synthetic import generate_sequence
+
+    return generate_sequence(
+        n_frames=60, width=512, height=160, trajectory="straight",
+        speed=0.8, seed=3, cache_dir=data_cache_dir,
+    )
