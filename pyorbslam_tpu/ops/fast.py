@@ -84,11 +84,22 @@ def cell_fallback_mask(
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """Keep only local maxima over 3x3 neighborhoods."""
-    neigh_max = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    return jnp.where((score >= neigh_max) & (score > 0.0), score, 0.0)
+    """Keep only local maxima over 3x3 neighborhoods.
+
+    A pixel survives only if its score is *strictly* greater than all 8
+    neighbors — OpenCV's FAST suppression drops both members of a tied
+    plateau, and integer-valued scores tie often.
+    """
+    h, w = score.shape
+    padded = jnp.pad(score, 1, constant_values=-jnp.inf)
+    keep = score > 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+            keep &= score > neigh
+    return jnp.where(keep, score, 0.0)
 
 
 def border_mask(score: jnp.ndarray, border: int) -> jnp.ndarray:

@@ -1,0 +1,131 @@
+"""Keypoint orientation (intensity centroid) and rotated-BRIEF descriptors.
+
+Replaces the reference's per-keypoint C++ loops (ORBextractor.cpp
+IC_Angle:77-104 and computeOrbDescriptor:108-147) with batched gathers:
+
+  * orientation is a single (N, 961) patch-gather followed by a matmul
+    with two static moment-weight vectors (runs on the MXU);
+  * descriptors rotate the 256-pair pattern per keypoint, round to
+    integer offsets exactly like the reference's cvRound'd GET_VALUE, and
+    gather 512 samples per keypoint from the blurred level image.
+
+The 512-point sampling pattern is the standard OpenCV rBRIEF constant
+table (public BSD data; same values as ORBextractor.cpp:150-408), stored
+as ``assets/orb_brief_pattern.npy``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HALF_PATCH_SIZE = 15
+PATCH_SIZE = 31
+BORDER = 19  # reflected border budget around each level (EDGE_THRESHOLD)
+
+_ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
+
+
+@lru_cache(maxsize=1)
+def brief_pattern() -> np.ndarray:
+    """(512, 2) int32 (x, y) sampling offsets."""
+    return np.load(os.path.join(_ASSET_DIR, "orb_brief_pattern.npy"))
+
+
+@lru_cache(maxsize=1)
+def umax_table() -> np.ndarray:
+    """Circular-patch row extents, symmetric (ORBextractor.cpp:454-469)."""
+    hp = HALF_PATCH_SIZE
+    umax = np.zeros(hp + 1, dtype=np.int64)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax
+
+
+@lru_cache(maxsize=1)
+def _moment_weights() -> Tuple[np.ndarray, np.ndarray]:
+    """Static (961,) weight vectors so that the centroid moments are
+    m10 = patch @ wx and m01 = patch @ wy over the circular mask."""
+    umax = umax_table()
+    hp = HALF_PATCH_SIZE
+    wx = np.zeros((PATCH_SIZE, PATCH_SIZE), np.float32)
+    wy = np.zeros((PATCH_SIZE, PATCH_SIZE), np.float32)
+    for dv in range(-hp, hp + 1):
+        d = umax[abs(dv)]
+        for du in range(-d, d + 1):
+            wx[dv + hp, du + hp] = du
+            wy[dv + hp, du + hp] = dv
+    return wx.reshape(-1), wy.reshape(-1)
+
+
+def gather_patches(
+    padded: jnp.ndarray, xy: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
+    border: int = BORDER,
+) -> jnp.ndarray:
+    """Gather per-keypoint samples from a reflect-padded level image.
+
+    padded: (H + 2*border, W + 2*border); xy: (N, 2) int32 level coords;
+    dy/dx: (P,) or (N, P) int32 offsets.  Returns (N, P) float32.
+    """
+    wp = padded.shape[-1]
+    ys = xy[:, 1:2] + border + (dy if dy.ndim == 2 else dy[None, :])
+    xs = xy[:, 0:1] + border + (dx if dx.ndim == 2 else dx[None, :])
+    flat_idx = ys * wp + xs
+    return jnp.take(padded.reshape(-1), flat_idx, axis=0)
+
+
+def ic_angle(padded_level: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation in degrees [0, 360).
+
+    padded_level is the *unblurred* level image with BORDER reflect pad
+    (the reference computes orientation pre-blur: operator_kd order).
+    """
+    hp = HALF_PATCH_SIZE
+    offs = np.arange(-hp, hp + 1, dtype=np.int32)
+    dyg, dxg = np.meshgrid(offs, offs, indexing="ij")
+    patches = gather_patches(
+        padded_level, xy, jnp.asarray(dyg.reshape(-1)), jnp.asarray(dxg.reshape(-1))
+    )  # (N, 961)
+    wx, wy = _moment_weights()
+    W = jnp.stack([jnp.asarray(wx), jnp.asarray(wy)], axis=1)  # (961, 2)
+    m = jnp.dot(patches, W, preferred_element_type=jnp.float32)  # (N, 2)
+    ang = jnp.degrees(jnp.arctan2(m[:, 1], m[:, 0]))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def brief_descriptors(
+    padded_blurred: jnp.ndarray, xy: jnp.ndarray, angle_deg: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered 256-bit BRIEF -> packed uint32 (N, 8).
+
+    Bit packing is little-endian over the reference's byte layout: pair
+    ``p`` lands in word ``p // 32`` at bit ``p % 32``, which equals the
+    reference's 32-byte rows read as 8 little-endian uint32 words
+    (computeOrbDescriptor packs pair 8*i+j into byte i bit j).
+    """
+    pat = jnp.asarray(brief_pattern(), jnp.float32)  # (512, 2) (x, y)
+    rad = jnp.radians(angle_deg)
+    a = jnp.cos(rad)[:, None]  # (N, 1)
+    b = jnp.sin(rad)[:, None]
+    px, py = pat[None, :, 0], pat[None, :, 1]
+    # reference GET_VALUE: row = round(px*sin + py*cos), col = round(px*cos - py*sin)
+    rows = jnp.round(px * b + py * a).astype(jnp.int32)  # (N, 512)
+    cols = jnp.round(px * a - py * b).astype(jnp.int32)
+    vals = gather_patches(padded_blurred, xy, rows, cols)  # (N, 512)
+    bits = (vals[:, 0::2] < vals[:, 1::2]).astype(jnp.uint32)  # (N, 256)
+    words = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
