@@ -123,6 +123,33 @@ def render_view(
     return np.clip(img, 0, 255).astype(np.float32)
 
 
+def render_depth(
+    Twc: np.ndarray, K: np.ndarray, width: int, height: int,
+    planes: Optional[List[Plane]] = None,
+) -> np.ndarray:
+    """Ground-truth z-depth map (camera frame) for test gating."""
+    if planes is None:
+        planes = corridor_scene()
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    dirs_c = np.stack(
+        [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], axis=-1
+    )
+    Rwc = Twc[:3, :3]
+    o = Twc[:3, 3]
+    dirs_w = dirs_c @ Rwc.T
+    best_t = np.full((height, width), np.inf)
+    for pl in planes:
+        denom = dirs_w @ pl.n
+        num = (pl.p0 - o) @ pl.n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(np.abs(denom) > 1e-9, num / denom, np.inf)
+        hit = (t > 0.05) & (t < best_t) & (t < 400.0)
+        best_t[hit] = t[hit]
+    # ray parameter t is distance along dirs_c whose z-component is 1 -> z = t
+    return best_t
+
+
 def straight_trajectory(n_frames: int, speed: float = 1.0, yaw_amp: float = 0.04) -> np.ndarray:
     """Forward motion with gentle sinusoidal yaw -> (N, 4, 4) Twc."""
     poses = np.tile(np.eye(4), (n_frames, 1, 1))

@@ -1,0 +1,94 @@
+"""Per-frame perception: one fused device program per stereo pair.
+
+The reference's ``Frame`` (Frame.py:13-73) runs two C++ ORB extractions,
+stereo matching, and grid assignment per frame.  Here the whole thing is a
+single jitted XLA dispatch producing a fixed-shape SoA
+:class:`StereoFrame`.  The reference's 64x48 feature grid
+(Frame.assign_features_to_grid) exists only to make CPU radius queries
+O(1); on TPU the projection matchers compute full candidate masks on the
+MXU instead, so no grid is materialized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.ops import stereo as stereo_ops
+from pyorbslam_tpu.ops import pyramid as pyr_ops
+from pyorbslam_tpu.ops.extractor import FrameFeatures, extract_features
+from pyorbslam_tpu.ops.hamming import unpack_bits
+
+
+class StereoFrame(NamedTuple):
+    """Device-side SoA for one tracked stereo frame (capacity N)."""
+
+    xy: jnp.ndarray        # (N, 2) float32 level-0 keypoint coords (left)
+    response: jnp.ndarray  # (N,)
+    angle: jnp.ndarray     # (N,) degrees
+    octave: jnp.ndarray    # (N,) int32
+    desc: jnp.ndarray      # (N, 8) uint32
+    desc_bits: jnp.ndarray # (N, 256) int8 unpacked (for MXU matchers)
+    valid: jnp.ndarray     # (N,) bool
+    u_right: jnp.ndarray   # (N,) float32, -1 if no stereo match
+    depth: jnp.ndarray     # (N,) float32, -1 if no stereo match
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+def build_stereo_frame(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: SlamConfig
+) -> StereoFrame:
+    orb = cfg.orb
+    both = jnp.stack([left, right])
+    feats = jax.vmap(lambda im: extract_features(im, orb))(both)
+    lf: FrameFeatures = jax.tree_util.tree_map(lambda a: a[0], feats)
+    rf: FrameFeatures = jax.tree_util.tree_map(lambda a: a[1], feats)
+
+    atlas_l = stereo_ops.build_atlas(
+        pyr_ops.build_pyramid(left, orb.scale_factor, orb.n_levels)
+    )
+    atlas_r = stereo_ops.build_atlas(
+        pyr_ops.build_pyramid(right, orb.scale_factor, orb.n_levels)
+    )
+    scale_factors = jnp.asarray(orb.scale_factors, jnp.float32)
+    u_right, depth = stereo_ops.match_stereo(
+        lf.xy, lf.octave, lf.desc, lf.valid,
+        rf.xy, rf.octave, rf.desc, rf.valid,
+        atlas_l, atlas_r, scale_factors,
+        bf=cfg.camera.bf,
+        max_disparity=cfg.camera.fx,
+        th_orb=(cfg.tracking.th_high + cfg.tracking.th_low) / 2.0,
+    )
+    return StereoFrame(
+        xy=lf.xy, response=lf.response, angle=lf.angle, octave=lf.octave,
+        desc=lf.desc, desc_bits=unpack_bits(lf.desc), valid=lf.valid,
+        u_right=u_right, depth=depth,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def build_stereo_frame_jit(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: SlamConfig
+) -> StereoFrame:
+    return build_stereo_frame(left, right, cfg)
+
+
+def unproject(frame: StereoFrame, cfg: SlamConfig, Twc: jnp.ndarray) -> jnp.ndarray:
+    """Back-project all stereo-matched keypoints to world coords
+    (Frame.unproject_stereo, Frame.py:281-291), vectorized.  Returns
+    (N, 3); rows with depth <= 0 are garbage — mask with frame.depth > 0.
+    """
+    cam = cfg.camera
+    z = frame.depth
+    x = (frame.xy[:, 0] - cam.cx) * z / cam.fx
+    y = (frame.xy[:, 1] - cam.cy) * z / cam.fy
+    pc = jnp.stack([x, y, z], axis=-1)
+    return pc @ Twc[:3, :3].T + Twc[:3, 3]
