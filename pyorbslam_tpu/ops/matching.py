@@ -1,0 +1,189 @@
+"""Batched projection matchers, frustum culling, and rotation histogram.
+
+Array reformulations of the reference's per-point loops:
+
+  * :func:`project_points` + :func:`frustum_gate` replace
+    Frame.is_in_frustum (Frame.py:328-371) for whole landmark blocks;
+  * :func:`match_by_projection` is the shared core of
+    ORBMatcher.search_by_projection_f_f (last-frame -> current, radius
+    th*scaleFactor[last octave], octave window by forward/backward
+    motion, ORBMatcher.py:291-393) and search_by_projection_f_p
+    (local-map points -> frame, radius by viewing cos, predicted level
+    window, ratio test, ORBMatcher.py:215-289).  The grid query becomes
+    a rectangular |dx|,|dy| < r mask over the full QxN Hamming matrix
+    (one MXU matmul), and assignment conflicts are resolved by keeping
+    the lowest distance per target feature;
+  * :func:`rotation_consistency_mask` reproduces the 30-bin histogram
+    top-3 filter (ORBMatcher.py:16-19 compute_three_maxima — the port
+    keeps the top 3 bins unconditionally; upstream's 0.1x cutoff for
+    bins 2/3 is restored here as it only ever *removes* wrong-rotation
+    matches).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pyorbslam_tpu.ops import hamming as ham
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+
+
+class Projection(NamedTuple):
+    u: jnp.ndarray         # (Q,) projected column
+    v: jnp.ndarray         # (Q,) projected row
+    ur: jnp.ndarray        # (Q,) projected right-view column u - bf/z
+    depth: jnp.ndarray     # (Q,) camera-frame z
+    dist: jnp.ndarray      # (Q,) distance to camera center
+    in_image: jnp.ndarray  # (Q,) bool: z > 0 and inside bounds
+
+
+def project_points(
+    Tcw: jnp.ndarray, pts_w: jnp.ndarray, cam: jnp.ndarray,
+    bounds: jnp.ndarray,
+) -> Projection:
+    """cam = [fx, fy, cx, cy, bf]; bounds = [min_x, max_x, min_y, max_y]."""
+    Pc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = Pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    invz = 1.0 / safe_z
+    u = cam[0] * Pc[:, 0] * invz + cam[2]
+    v = cam[1] * Pc[:, 1] * invz + cam[3]
+    ur = u - cam[4] * invz
+    Ow = se3_center(Tcw)
+    dist = jnp.linalg.norm(pts_w - Ow, axis=-1)
+    in_image = (
+        (z > 0.0)
+        & (u >= bounds[0]) & (u <= bounds[1])
+        & (v >= bounds[2]) & (v <= bounds[3])
+    )
+    return Projection(u=u, v=v, ur=ur, depth=z, dist=dist, in_image=in_image)
+
+
+def se3_center(Tcw: jnp.ndarray) -> jnp.ndarray:
+    return -Tcw[:3, :3].T @ Tcw[:3, 3]
+
+
+def predict_scale(
+    dist: jnp.ndarray, max_dist: jnp.ndarray, log_scale_factor: float,
+    n_levels: int,
+) -> jnp.ndarray:
+    """MapPoint.predict_scale (MapPoint.py:294-302): ceil(log(maxDist/d)/log(s))."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-6), 1e-6)
+    level = jnp.ceil(jnp.log(ratio) / log_scale_factor).astype(jnp.int32)
+    return jnp.clip(level, 0, n_levels - 1)
+
+
+def frustum_gate(
+    proj: Projection,
+    normals: jnp.ndarray,      # (Q, 3) mean viewing directions
+    min_dist: jnp.ndarray,     # (Q,) 0.8 * min scale-invariance distance
+    max_dist: jnp.ndarray,     # (Q,) 1.2 * max
+    pts_w: jnp.ndarray,
+    Ow: jnp.ndarray,
+    viewing_cos_limit: float = 0.5,
+) -> jnp.ndarray:
+    """Frame.is_in_frustum gates: image bounds, distance band, view angle."""
+    po = pts_w - Ow
+    view_cos = jnp.einsum("qi,qi->q", po, normals) / jnp.maximum(proj.dist, 1e-6)
+    return (
+        proj.in_image
+        & (proj.dist >= min_dist)
+        & (proj.dist <= max_dist)
+        & (view_cos >= viewing_cos_limit)
+    )
+
+
+def match_by_projection(
+    # queries (Q):
+    q_u: jnp.ndarray, q_v: jnp.ndarray, q_ur: jnp.ndarray,
+    q_desc_bits: jnp.ndarray,  # (Q, 256) int8
+    q_pop: jnp.ndarray,        # (Q,) popcounts
+    q_radius: jnp.ndarray,     # (Q,) search radius in px
+    q_min_level: jnp.ndarray,  # (Q,) int32 inclusive
+    q_max_level: jnp.ndarray,  # (Q,) int32 inclusive (large value = open)
+    q_active: jnp.ndarray,     # (Q,) bool
+    # frame features (N):
+    f_xy: jnp.ndarray, f_octave: jnp.ndarray, f_u_right: jnp.ndarray,
+    f_desc_bits: jnp.ndarray, f_pop: jnp.ndarray,
+    f_free: jnp.ndarray,       # (N,) bool: feature may accept a match
+    max_dist_th: int = TH_HIGH,
+    ratio: Optional[float] = None,   # mfNNratio second-best test (f_p only)
+    stereo_gate: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (match_idx (Q,) int32 [-1 = none], match_dist (Q,), matched (Q,) bool).
+
+    Conflicts (two queries matching one feature) keep the lower distance.
+    """
+    dist = ham.hamming_matrix_bits(q_desc_bits, q_pop, f_desc_bits, f_pop)  # (Q, N)
+
+    dx = jnp.abs(f_xy[None, :, 0] - q_u[:, None])
+    dy = jnp.abs(f_xy[None, :, 1] - q_v[:, None])
+    window = (dx < q_radius[:, None]) & (dy < q_radius[:, None])
+    level_ok = (f_octave[None, :] >= q_min_level[:, None]) & (
+        f_octave[None, :] <= q_max_level[:, None]
+    )
+    mask = window & level_ok & f_free[None, :] & q_active[:, None]
+    if stereo_gate:
+        er = jnp.abs(q_ur[:, None] - f_u_right[None, :])
+        mask &= (f_u_right[None, :] <= 0) | (er <= q_radius[:, None])
+
+    BIG = 1_000_000
+    dist = jnp.where(mask, dist, BIG)
+    order = jnp.argsort(dist, axis=1)
+    best_idx = order[:, 0]
+    best = jnp.take_along_axis(dist, best_idx[:, None], 1)[:, 0]
+    matched = best <= max_dist_th
+
+    if ratio is not None:
+        second_idx = order[:, 1]
+        second = jnp.take_along_axis(dist, second_idx[:, None], 1)[:, 0]
+        same_level = jnp.take(f_octave, best_idx) == jnp.take(f_octave, second_idx)
+        # reference skips only when best_level == best_level2 and the
+        # ratio test fails (ORBMatcher.py:276-279)
+        fail = same_level & (best.astype(jnp.float32) > ratio * second.astype(jnp.float32)) & (second < BIG)
+        matched &= ~fail
+
+    # conflict resolution: keep lowest distance per target feature
+    n = f_xy.shape[0]
+    eff_dist = jnp.where(matched, best, BIG)
+    per_target_best = jax.ops.segment_min(
+        eff_dist, best_idx, num_segments=n, indices_are_sorted=False
+    )
+    q_arange = jnp.arange(best.shape[0])
+    winner_q = jax.ops.segment_min(
+        jnp.where(eff_dist == per_target_best[best_idx], q_arange, BIG),
+        best_idx, num_segments=n,
+    )
+    is_winner = winner_q[best_idx] == q_arange
+    matched &= is_winner
+
+    return jnp.where(matched, best_idx, -1), best, matched
+
+
+def rotation_consistency_mask(
+    q_angle: jnp.ndarray, f_angle: jnp.ndarray, match_idx: jnp.ndarray,
+    matched: jnp.ndarray, apply_ratio_cut: bool = True,
+) -> jnp.ndarray:
+    """Keep only matches whose angle difference falls in the top-3 bins of
+    a 30-bin rotation histogram (ORBMatcher rotation-consistency check)."""
+    rot = q_angle - f_angle[match_idx]
+    rot = jnp.where(rot < 0, rot + 360.0, rot)
+    bins = jnp.round(rot * (HISTO_LENGTH / 360.0)).astype(jnp.int32)
+    bins = jnp.where(bins == HISTO_LENGTH, 0, bins)
+    counts = jnp.zeros(HISTO_LENGTH, jnp.int32).at[bins].add(matched.astype(jnp.int32))
+    top3_counts, top3 = jax.lax.top_k(counts, 3)
+    keep_bin = jnp.zeros(HISTO_LENGTH, dtype=bool).at[top3[0]].set(True)
+    if apply_ratio_cut:
+        # upstream ORB-SLAM2: bins 2/3 kept only if > 0.1 * max
+        keep_bin = keep_bin.at[top3[1]].set(top3_counts[1] > 0.1 * top3_counts[0])
+        keep_bin = keep_bin.at[top3[2]].set(top3_counts[2] > 0.1 * top3_counts[0])
+    else:
+        keep_bin = keep_bin.at[top3[1]].set(True)
+        keep_bin = keep_bin.at[top3[2]].set(True)
+    return matched & keep_bin[bins]

@@ -1,0 +1,444 @@
+"""Frame-to-frame tracking: motion model + projection matching + pose LM.
+
+The device side is one jitted program per frame (:func:`motion_track_step`)
+reproducing the reference hot path Tracking.track_with_motion_model
+(Tracking.py:578-616): project last frame's landmarks with the
+constant-velocity pose prediction, match by projection with th=7 px
+(falling back to 2*th when matches < 20, selected branchlessly), apply the
+rotation-consistency histogram, then run the 4x10 LM pose optimization
+with outlier gating, and finally strip outlier assignments.
+
+The host side (:class:`Tracker`) owns the landmark store and the
+bookkeeping the reference spreads across Tracking.py's state machine:
+stereo initialization (Tracking.py:282-319), velocity update
+(Tracking.py:224-232), keyframe-style landmark creation by depth order
+(create_new_key_frame, Tracking.py:523-576).  This module alone is a
+complete stereo visual odometry (the BASELINE "tracking-only" config);
+local mapping / loop closing build on top of it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.geometry import se3
+from pyorbslam_tpu.ops import matching as match_ops
+from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
+from pyorbslam_tpu.optim import pose_opt
+from pyorbslam_tpu.slam.frame import StereoFrame, build_stereo_frame_jit, unproject
+from pyorbslam_tpu.slam.mapstore import LandmarkStore
+
+
+class TrackStepResult(NamedTuple):
+    Tcw: jnp.ndarray          # (4, 4) optimized pose
+    feat_query: jnp.ndarray   # (N,) int32: matched query slot per feature (-1)
+    tracked: jnp.ndarray      # (N,) bool: feature holds a surviving match
+    inlier_edge: jnp.ndarray  # (N,) bool: stereo edge survived chi2 gating
+    n_matches: jnp.ndarray    # () int32 matches after rotation check
+    n_inliers: jnp.ndarray    # () int32 pose-opt stereo inliers
+
+
+def _cam_vec(cfg: SlamConfig) -> jnp.ndarray:
+    c = cfg.camera
+    return jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf], jnp.float32)
+
+
+def _bounds_vec(cfg: SlamConfig) -> jnp.ndarray:
+    c = cfg.camera
+    return jnp.asarray([0.0, c.width - 1.0, 0.0, c.height - 1.0], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def motion_track_step(
+    frame: StereoFrame,
+    q_pos: jnp.ndarray,        # (Q, 3) landmark world positions (per last-frame slot)
+    q_desc: jnp.ndarray,       # (Q, 8) packed landmark descriptors
+    q_angle: jnp.ndarray,      # (Q,) last-frame keypoint angle
+    q_octave: jnp.ndarray,     # (Q,) last-frame keypoint octave
+    q_active: jnp.ndarray,     # (Q,) bool: slot carries a live landmark
+    Tcw_pred: jnp.ndarray,     # (4, 4) velocity-model prediction
+    Tlw: jnp.ndarray,          # (4, 4) last frame pose (for fwd/bwd octave logic)
+    cfg: SlamConfig,
+) -> TrackStepResult:
+    cam = _cam_vec(cfg)
+    bounds = _bounds_vec(cfg)
+    orb = cfg.orb
+    scale_factors = jnp.asarray(orb.scale_factors, jnp.float32)
+    n_levels = orb.n_levels
+
+    proj = match_ops.project_points(Tcw_pred, q_pos, cam, bounds)
+
+    # forward/backward octave window (ORBMatcher.py:305-352)
+    twc = -Tcw_pred[:3, :3].T @ Tcw_pred[:3, 3]
+    tlc = Tlw[:3, :3] @ twc + Tlw[:3, 3]
+    baseline = cfg.camera.baseline
+    fwd = tlc[2] > baseline
+    bwd = -tlc[2] > baseline
+    min_lev = jnp.where(fwd, q_octave, jnp.where(bwd, 0, q_octave - 1))
+    max_lev = jnp.where(
+        fwd, n_levels - 1, jnp.where(bwd, q_octave, q_octave + 1)
+    )
+
+    q_bits = unpack_bits(q_desc)
+    q_pop = popcount(q_desc)
+    f_pop = popcount(frame.desc)
+    active = q_active & proj.in_image
+    f_free = frame.valid
+
+    def run(th):
+        radius = th * scale_factors[q_octave]
+        idx, dist, matched = match_ops.match_by_projection(
+            proj.u, proj.v, proj.ur, q_bits, q_pop, radius,
+            min_lev, max_lev, active,
+            frame.xy, frame.octave, frame.u_right, frame.desc_bits, f_pop,
+            f_free, max_dist_th=match_ops.TH_HIGH, ratio=None, stereo_gate=True,
+        )
+        matched = match_ops.rotation_consistency_mask(
+            q_angle, frame.angle, jnp.maximum(idx, 0), matched
+        )
+        return idx, matched
+
+    idx1, m1 = run(7.0)
+    n1 = jnp.sum(m1.astype(jnp.int32))
+    idx2, m2 = run(14.0)
+    use_wide = n1 < 20
+    idx = jnp.where(use_wide, idx2, idx1)
+    matched = jnp.where(use_wide, m2, m1)
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+
+    # scatter query -> feature assignment
+    n_feat = frame.capacity
+    q_ids = jnp.arange(q_pos.shape[0], dtype=jnp.int32)
+    feat_query = jnp.full((n_feat,), -1, jnp.int32)
+    scatter_to = jnp.where(matched, idx, n_feat)  # dump non-matches past the end
+    feat_query = jnp.zeros((n_feat + 1,), jnp.int32).at[:].set(-1).at[scatter_to].set(q_ids)[:n_feat]
+
+    has_point = feat_query >= 0
+    Xw = q_pos[jnp.maximum(feat_query, 0)]
+    obs = jnp.stack([frame.xy[:, 0], frame.xy[:, 1], frame.u_right], axis=-1)
+    inv_sigma2 = jnp.asarray(cfg.orb.inv_level_sigma2, jnp.float32)[frame.octave]
+    edge_active = has_point & (frame.u_right > 0) & frame.valid
+
+    result = pose_opt.pose_optimization(
+        Tcw_pred, Xw, obs, inv_sigma2, edge_active, cam,
+        rounds=cfg.ba.pose_rounds, iters=cfg.ba.pose_iters_per_round,
+    )
+
+    # outlier assignments are dropped (Tracking.py:601-608); matches
+    # without a stereo edge survive on the matcher's word alone
+    tracked = has_point & jnp.where(edge_active, result.inliers, True)
+    feat_query = jnp.where(tracked, feat_query, -1)
+
+    return TrackStepResult(
+        Tcw=result.Tcw,
+        feat_query=feat_query,
+        tracked=tracked,
+        inlier_edge=result.inliers,
+        n_matches=n_matches,
+        n_inliers=result.num_inliers,
+    )
+
+
+class LocalTrackResult(NamedTuple):
+    Tcw: jnp.ndarray
+    feat_local: jnp.ndarray   # (N,) int32: local-point slot newly matched (-1)
+    tracked: jnp.ndarray      # (N,) bool: any assignment surviving pose opt
+    inlier_edge: jnp.ndarray  # (N,) bool
+    n_inliers: jnp.ndarray    # () int32 (mnMatchesInliers analog)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def local_track_step(
+    frame: StereoFrame,
+    feat_xw: jnp.ndarray,      # (N, 3) world pos for already-assigned features
+    feat_has: jnp.ndarray,     # (N,) bool feature already has a point
+    p_pos: jnp.ndarray,        # (P, 3) local map point positions
+    p_desc: jnp.ndarray,       # (P, 8)
+    p_normal: jnp.ndarray,     # (P, 3)
+    p_dmin: jnp.ndarray,       # (P,) 0.8 * min scale-invariance distance
+    p_dmax: jnp.ndarray,       # (P,) 1.2 * max
+    p_active: jnp.ndarray,     # (P,) bool (excludes already-assigned points)
+    Tcw: jnp.ndarray,          # (4, 4) pose after motion tracking
+    cfg: SlamConfig,
+) -> LocalTrackResult:
+    """Tracking.track_local_map (Tracking.py:358-468) as one device program:
+    frustum-gate the local point set, match by projection with the
+    viewing-cos radius and 0.8 ratio test, then re-run pose optimization
+    over the union of assignments."""
+    cam = _cam_vec(cfg)
+    bounds = _bounds_vec(cfg)
+    orb = cfg.orb
+    scale_factors = jnp.asarray(orb.scale_factors, jnp.float32)
+
+    proj = match_ops.project_points(Tcw, p_pos, cam, bounds)
+    Ow = match_ops.se3_center(Tcw)
+    in_frustum = match_ops.frustum_gate(
+        proj, p_normal, p_dmin, p_dmax, p_pos, Ow, viewing_cos_limit=0.5
+    )
+    active = p_active & in_frustum
+
+    # predicted level and radius (ORBMatcher.py:215-246, 285-289)
+    max_dist = p_dmax / 1.2
+    pred_level = match_ops.predict_scale(
+        proj.dist, max_dist, float(np.log(orb.scale_factor)), orb.n_levels
+    )
+    po = p_pos - Ow
+    view_cos = jnp.einsum("pi,pi->p", po, p_normal) / jnp.maximum(proj.dist, 1e-6)
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = r * scale_factors[pred_level]
+
+    p_bits = unpack_bits(p_desc)
+    p_pop = popcount(p_desc)
+    f_pop = popcount(frame.desc)
+    f_free = frame.valid & ~feat_has
+
+    idx, _, matched = match_ops.match_by_projection(
+        proj.u, proj.v, proj.ur, p_bits, p_pop, radius,
+        pred_level - 1, pred_level, active,
+        frame.xy, frame.octave, frame.u_right, frame.desc_bits, f_pop,
+        f_free, max_dist_th=match_ops.TH_HIGH, ratio=0.8, stereo_gate=True,
+    )
+
+    n_feat = frame.capacity
+    p_ids = jnp.arange(p_pos.shape[0], dtype=jnp.int32)
+    scatter_to = jnp.where(matched, idx, n_feat)
+    feat_local = jnp.zeros((n_feat + 1,), jnp.int32).at[:].set(-1).at[scatter_to].set(p_ids)[:n_feat]
+
+    has_local = feat_local >= 0
+    Xw = jnp.where(
+        has_local[:, None], p_pos[jnp.maximum(feat_local, 0)], feat_xw
+    )
+    has_point = feat_has | has_local
+    obs = jnp.stack([frame.xy[:, 0], frame.xy[:, 1], frame.u_right], axis=-1)
+    inv_sigma2 = jnp.asarray(cfg.orb.inv_level_sigma2, jnp.float32)[frame.octave]
+    edge_active = has_point & (frame.u_right > 0) & frame.valid
+
+    result = pose_opt.pose_optimization(
+        Tcw, Xw, obs, inv_sigma2, edge_active, cam,
+        rounds=cfg.ba.pose_rounds, iters=cfg.ba.pose_iters_per_round,
+    )
+    tracked = has_point & jnp.where(edge_active, result.inliers, True)
+    feat_local = jnp.where(tracked, feat_local, -1)
+    n_inliers = jnp.sum((tracked & edge_active).astype(jnp.int32))
+    return LocalTrackResult(
+        Tcw=result.Tcw, feat_local=feat_local, tracked=tracked,
+        inlier_edge=result.inliers, n_inliers=n_inliers,
+    )
+
+
+@dataclasses.dataclass
+class Tracker:
+    """Host orchestrator for the tracking-only (visual odometry) pipeline."""
+
+    cfg: SlamConfig
+    landmark_capacity: int = 1 << 18
+    local_window: int = 10        # recent KF groups forming the local map
+
+    def __post_init__(self):
+        self.landmarks = LandmarkStore(self.landmark_capacity)
+        self.state = "NOT_INITIALIZED"
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_frame: Optional[StereoFrame] = None
+        self.last_assign: Optional[np.ndarray] = None  # (N,) landmark ids
+        self.kf_groups: list = []  # landmark-id arrays per KF event (local map)
+        self.frames_since_kf = 0
+        self.frame_id = -1
+        self.trajectory: list = []
+        self.stats: list = []
+
+    def _local_point_ids(self, exclude: np.ndarray) -> np.ndarray:
+        """Local map = landmarks of recent KF groups minus already-assigned
+        (the port's update_local_points over observer keyframes,
+        Tracking.py:424-436, with the recent-KF window standing in for the
+        covisibility walk until the keyframe store lands)."""
+        cap = self.cfg.tracking.max_local_points
+        groups = self.kf_groups[-self.local_window:]
+        if not groups:
+            return np.empty(0, np.int32)
+        ids = np.unique(np.concatenate(groups))
+        ids = self.landmarks.resolve(ids)
+        ids = ids[(ids >= 0) & self.landmarks.alive[np.maximum(ids, 0)]]
+        excl = set(exclude[exclude >= 0].tolist())
+        if excl:
+            ids = ids[~np.isin(ids, list(excl))]
+        return ids[-cap:].astype(np.int32)
+
+    # ---------------- public API ----------------
+
+    def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> np.ndarray:
+        """Process one stereo pair; returns the current Tcw estimate."""
+        self.frame_id += 1
+        frame = build_stereo_frame_jit(
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), self.cfg
+        )
+        if self.state == "NOT_INITIALIZED":
+            self._stereo_initialization(frame)
+        else:
+            self._track_frame(frame, timestamp)
+        self.trajectory.append(self.Tcw.copy())
+        return self.Tcw
+
+    # ---------------- internals ----------------
+
+    def _stereo_initialization(self, frame: StereoFrame):
+        n_valid = int(np.asarray(frame.valid).sum())
+        if n_valid <= 500:
+            return  # wait for a richer frame (Tracking.py:284)
+        self.Tcw = np.eye(4, dtype=np.float32)
+        assign = self._create_landmarks(frame, self.Tcw, limit=None)
+        self.kf_groups.append(np.unique(assign[assign >= 0]))
+        self.last_frame = frame
+        self.last_assign = assign
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.frames_since_kf = 0
+        self.state = "OK"
+
+    def _track_frame(self, frame: StereoFrame, timestamp: float):
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        lm_ids = self.landmarks.resolve(self.last_assign)
+        q_active = lm_ids >= 0
+        safe = np.maximum(lm_ids, 0)
+
+        res = motion_track_step(
+            frame,
+            jnp.asarray(self.landmarks.pos[safe]),
+            jnp.asarray(self.landmarks.desc[safe]),
+            self.last_frame.angle,
+            self.last_frame.octave,
+            jnp.asarray(q_active),
+            jnp.asarray(Tcw_pred),
+            jnp.asarray(self.Tcw),
+            self.cfg,
+        )
+        n_matches = int(res.n_matches)
+        feat_query = np.asarray(res.feat_query)
+        assign = np.where(feat_query >= 0, lm_ids[np.maximum(feat_query, 0)], -1)
+        Tcw_mid = np.asarray(res.Tcw) if n_matches >= 20 else Tcw_pred
+
+        # ---- second stage: local-map tracking ----
+        local_ids = self._local_point_ids(exclude=assign)
+        cap = self.cfg.tracking.max_local_points
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(local_ids)] = local_ids
+        p_safe = np.maximum(p_ids, 0)
+        feat_has = assign >= 0
+        feat_xw = self.landmarks.pos[np.maximum(assign, 0)]
+
+        lres = local_track_step(
+            frame,
+            jnp.asarray(feat_xw),
+            jnp.asarray(feat_has),
+            jnp.asarray(self.landmarks.pos[p_safe]),
+            jnp.asarray(self.landmarks.desc[p_safe]),
+            jnp.asarray(self.landmarks.normal[p_safe]),
+            jnp.asarray(self.landmarks.dmin[p_safe]),
+            jnp.asarray(self.landmarks.dmax[p_safe]),
+            jnp.asarray(p_ids >= 0),
+            jnp.asarray(Tcw_mid),
+            self.cfg,
+        )
+        n_inliers = int(lres.n_inliers)
+        tracked = np.asarray(lres.tracked)
+        feat_local = np.asarray(lres.feat_local)
+        assign = np.where(
+            feat_local >= 0, p_ids[np.maximum(feat_local, 0)], assign
+        )
+        assign = np.where(tracked, assign, -1)
+
+        if n_inliers < 20:
+            # tracking lost: fall back to the prediction (the full system
+            # attempts relocalization here; VO keeps odometry alive by
+            # reseeding landmarks below)
+            self.state = "WEAK"
+            self.Tcw = Tcw_pred
+            assign = np.full(frame.capacity, -1, np.int32)
+        else:
+            self.state = "OK"
+            self.Tcw = np.asarray(lres.Tcw)
+
+        self.velocity = (
+            self.Tcw @ np.linalg.inv(self.trajectory[-1])
+        ).astype(np.float32)
+
+        self.frames_since_kf += 1
+        depth = np.asarray(frame.depth)
+        th_depth = self.cfg.camera.depth_threshold
+        tracked_close = int(((depth > 0) & (depth < th_depth) & (assign >= 0)).sum())
+        non_tracked_close = int(((depth > 0) & (depth < th_depth) & (assign < 0)).sum())
+        need_close = tracked_close < 100 and non_tracked_close > 70
+        need_kf = (
+            n_inliers > 15
+            and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames)
+        ) or self.state == "WEAK"
+        if need_kf:
+            assign = self._create_landmarks(
+                frame, self.Tcw, limit=100, existing=assign
+            )
+            group = assign[assign >= 0]
+            self.kf_groups.append(np.unique(group))
+            self.frames_since_kf = 0
+
+        self.last_frame = frame
+        self.last_assign = assign
+        self.stats.append(
+            dict(frame=self.frame_id, matches=n_matches, inliers=n_inliers,
+                 tracked_close=tracked_close, new_kf=need_kf,
+                 local_points=len(local_ids))
+        )
+
+    def _create_landmarks(
+        self,
+        frame: StereoFrame,
+        Tcw: np.ndarray,
+        limit: Optional[int],
+        existing: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Create landmarks from stereo depths in depth order
+        (create_new_key_frame semantics: unassigned features become new
+        points until depth > ThDepth and > ``limit`` points exist)."""
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid)
+        xy = np.asarray(frame.xy)
+        octave = np.asarray(frame.octave)
+        desc = np.asarray(frame.desc)
+        assign = (
+            existing.copy() if existing is not None
+            else np.full(frame.capacity, -1, np.int32)
+        )
+
+        Twc = np.linalg.inv(Tcw)
+        pts_w = np.asarray(unproject(frame, self.cfg, jnp.asarray(Twc, jnp.float32)))
+        Ow = Twc[:3, 3]
+
+        cand = np.nonzero((depth > 0) & valid & (assign < 0))[0]
+        cand = cand[np.argsort(depth[cand])]
+        if limit is not None:
+            th_depth = self.cfg.camera.depth_threshold
+            total_pts = int((assign >= 0).sum())
+            take = []
+            for i in cand:
+                take.append(i)
+                total_pts += 1
+                if depth[i] > th_depth and total_pts > limit:
+                    break
+            cand = np.array(take, dtype=np.int64)
+        if len(cand) == 0:
+            return assign
+
+        po = pts_w[cand] - Ow
+        dist = np.linalg.norm(po, axis=1)
+        normal = po / np.maximum(dist[:, None], 1e-6)
+        ids = self.landmarks.add(
+            pts_w[cand], desc[cand], normal, dist, octave[cand],
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels, ref_kf=-1,
+        )
+        assign[cand] = ids
+        return assign
