@@ -204,11 +204,20 @@ def generate_sequence(
     speed: float = 1.0,
     seed: int = 0,
     cache_dir: Optional[str] = None,
+    scene_width: float = 16.0,
+    loop_radius: float = 18.0,
 ) -> SyntheticSequence:
-    """Render (and optionally disk-cache) a synthetic stereo sequence."""
+    """Render (and optionally disk-cache) a synthetic stereo sequence.
+
+    Note: the trajectory must stay inside the corridor (walls at
+    +-scene_width/2); a loop needs scene_width > 2*loop_radius + margin.
+    """
+    if trajectory == "loop" and scene_width < 2 * loop_radius + 6:
+        scene_width = 2 * loop_radius + 12.0
     fx = 0.58 * width  # KITTI-like FOV
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
-    key = f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}_v3"
+    key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
+           f"_{scene_width}_{loop_radius}_v4")
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
@@ -222,11 +231,11 @@ def generate_sequence(
             )
 
     tex = make_texture(1024, seed=seed)
-    planes = corridor_scene()
+    planes = corridor_scene(width_m=scene_width)
     if trajectory == "straight":
         poses = straight_trajectory(n_frames, speed=speed)
     elif trajectory == "loop":
-        poses = loop_trajectory(n_frames)
+        poses = loop_trajectory(n_frames, radius=loop_radius)
     else:
         raise ValueError(f"unknown trajectory {trajectory!r}")
 

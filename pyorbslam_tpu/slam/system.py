@@ -1,0 +1,308 @@
+"""System facade: the full SLAM pipeline (tracking + local mapping).
+
+API parity with the reference System (System.py:20-168):
+``track_stereo``, ``save_trajectory_kitti``, ``reset``, ``shutdown``,
+``activate/deactivate_localization_mode``.  The reference's three threads
+become a synchronous interleaved schedule (SURVEY.md §2.3): each keyframe
+insertion immediately runs the local-mapping step (covisibility update,
+point culling, local Schur BA) before the next frame is tracked — same
+semantics, deterministic order, no locks.
+
+Loop closing / relocalization hook in as later stages on this same spine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.io.kitti import save_trajectory_kitti
+from pyorbslam_tpu.slam.frame import StereoFrame, build_stereo_frame_jit, unproject
+from pyorbslam_tpu.slam.slam_map import SlamMap
+from pyorbslam_tpu.slam.tracking import local_track_step, motion_track_step
+
+
+@dataclasses.dataclass
+class System:
+    cfg: SlamConfig
+    landmark_capacity: int = 1 << 18
+    keyframe_capacity: int = 4096
+    ba_every_n_kf: int = 1          # local BA cadence (1 = every KF)
+    localization_only: bool = False
+
+    def __post_init__(self):
+        self.reset()
+
+    # ---------------- public API (reference parity) ----------------
+
+    def reset(self):
+        self.map = SlamMap(
+            self.cfg, self.landmark_capacity, self.keyframe_capacity
+        )
+        self.state = "NOT_INITIALIZED"
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_frame: Optional[StereoFrame] = None
+        self.last_assign: Optional[np.ndarray] = None
+        self.lm_created_kf = np.full(self.landmark_capacity, -1, np.int32)
+        self.recent_lms: list = []
+        self.frames_since_kf = 0
+        self.frame_id = -1
+        self.trajectory: list = []
+        self.stats: list = []
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float) -> np.ndarray:
+        self.frame_id += 1
+        frame = build_stereo_frame_jit(
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+            self.cfg,
+        )
+        if self.state == "NOT_INITIALIZED":
+            self._stereo_initialization(frame, timestamp)
+        else:
+            self._track(frame, timestamp)
+        self.trajectory.append(self.Tcw.copy())
+        return self.Tcw
+
+    def save_trajectory_kitti(self, path: str):
+        save_trajectory_kitti(path, self.trajectory)
+
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def shutdown(self):
+        pass  # synchronous pipeline: nothing to join
+
+    # ---------------- initialization ----------------
+
+    def _stereo_initialization(self, frame: StereoFrame, timestamp: float):
+        n_valid = int(np.asarray(frame.valid).sum())
+        if n_valid <= 500:
+            return
+        self.Tcw = np.eye(4, dtype=np.float32)
+        assign = self._create_landmarks(frame, self.Tcw, limit=None)
+        self._insert_keyframe(frame, assign, timestamp, run_ba=False)
+        self.last_frame = frame
+        self.last_assign = assign
+        self.state = "OK"
+
+    # ---------------- per-frame tracking ----------------
+
+    def _track(self, frame: StereoFrame, timestamp: float):
+        lm = self.map.landmarks
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        lm_ids = lm.resolve(self.last_assign)
+        q_active = lm_ids >= 0
+        safe = np.maximum(lm_ids, 0)
+
+        def motion_attempt(th_base):
+            return motion_track_step(
+                frame,
+                jnp.asarray(lm.pos[safe]),
+                jnp.asarray(lm.desc[safe]),
+                self.last_frame.angle,
+                self.last_frame.octave,
+                jnp.asarray(q_active & lm.alive[safe]),
+                jnp.asarray(Tcw_pred),
+                jnp.asarray(self.Tcw),
+                self.cfg,
+                th_base=th_base,
+            )
+
+        res = motion_attempt(7.0)
+        if int(res.n_matches) < 20 or int(res.n_inliers) < 20:
+            # wide-radius rescue tier: stands in for the reference's
+            # track_reference_key_frame BoW fallback until BoW tracking
+            # lands (large prediction error, e.g. sharp turns from rest)
+            res = motion_attempt(28.0)
+        n_matches = int(res.n_matches)
+        feat_query = np.asarray(res.feat_query)
+        assign = np.where(feat_query >= 0, lm_ids[np.maximum(feat_query, 0)], -1)
+        Tcw_mid = np.asarray(res.Tcw) if n_matches >= 20 else Tcw_pred
+
+        # local map from covisibility (update_local_keyframes/points)
+        local_ids = self._local_point_ids(assign)
+        cap = self.cfg.tracking.max_local_points
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(local_ids)] = local_ids
+        p_safe = np.maximum(p_ids, 0)
+        feat_has = assign >= 0
+        feat_xw = lm.pos[np.maximum(assign, 0)]
+
+        lres = local_track_step(
+            frame,
+            jnp.asarray(feat_xw),
+            jnp.asarray(feat_has),
+            jnp.asarray(lm.pos[p_safe]),
+            jnp.asarray(lm.desc[p_safe]),
+            jnp.asarray(lm.normal[p_safe]),
+            jnp.asarray(lm.dmin[p_safe]),
+            jnp.asarray(lm.dmax[p_safe]),
+            jnp.asarray(p_ids >= 0),
+            jnp.asarray(Tcw_mid),
+            self.cfg,
+        )
+        n_inliers = int(lres.n_inliers)
+        tracked = np.asarray(lres.tracked)
+        feat_local = np.asarray(lres.feat_local)
+        assign = np.where(feat_local >= 0, p_ids[np.maximum(feat_local, 0)], assign)
+        assign = np.where(tracked, assign, -1)
+
+        # found / visible counters (track_local_map bookkeeping)
+        vis_ids = p_ids[np.asarray(lres.p_visible)]
+        vis_ids = vis_ids[vis_ids >= 0]
+        lm.visible[vis_ids] += 1
+        found_ids = np.unique(assign[assign >= 0])
+        lm.found[found_ids] += 1
+        lm.visible[found_ids] += 1
+
+        if n_inliers < 20:
+            self.state = "WEAK"
+            self.Tcw = Tcw_pred
+            assign = np.full(frame.capacity, -1, np.int32)
+        else:
+            self.state = "OK"
+            self.Tcw = np.asarray(lres.Tcw)
+
+        self.velocity = (
+            self.Tcw @ np.linalg.inv(self.trajectory[-1])
+        ).astype(np.float32)
+
+        self.frames_since_kf += 1
+        depth = np.asarray(frame.depth)
+        th_depth = self.cfg.camera.depth_threshold
+        tracked_close = int(((depth > 0) & (depth < th_depth) & (assign >= 0)).sum())
+        non_tracked_close = int(((depth > 0) & (depth < th_depth) & (assign < 0)).sum())
+        need_close = tracked_close < 100 and non_tracked_close > 70
+        need_kf = not self.localization_only and (
+            (n_inliers > 15
+             and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames))
+            or self.state == "WEAK"
+        )
+        if need_kf:
+            assign = self._create_landmarks(frame, self.Tcw, limit=100,
+                                            existing=assign)
+            self._insert_keyframe(frame, assign, timestamp, run_ba=True)
+
+        self.last_frame = frame
+        self.last_assign = assign
+        self.stats.append(
+            dict(frame=self.frame_id, matches=n_matches, inliers=n_inliers,
+                 tracked_close=tracked_close, new_kf=need_kf,
+                 local_points=len(local_ids), n_kfs=self.map.keyframes.n,
+                 n_landmarks=int(self.map.landmarks.alive.sum())),
+        )
+
+    # ---------------- local mapping (synchronous) ----------------
+
+    def _insert_keyframe(self, frame: StereoFrame, assign: np.ndarray,
+                         timestamp: float, run_ba: bool):
+        frame_np = dict(
+            xy=np.asarray(frame.xy), octave=np.asarray(frame.octave),
+            angle=np.asarray(frame.angle), desc=np.asarray(frame.desc),
+            valid=np.asarray(frame.valid), u_right=np.asarray(frame.u_right),
+            depth=np.asarray(frame.depth),
+        )
+        kf = self.map.add_keyframe(
+            frame_np, self.Tcw, assign, self.frame_id, timestamp
+        )
+        new_ids = assign[(assign >= 0) & (self.lm_created_kf[np.maximum(assign, 0)] < 0)]
+        self.lm_created_kf[new_ids] = kf
+        self.recent_lms.append(np.unique(assign[assign >= 0]))
+        self.frames_since_kf = 0
+
+        # map-point culling over landmarks created in the last 3 KFs
+        if len(self.recent_lms) > 3:
+            self.map.cull_map_points(
+                self.recent_lms[-3], kf, self.lm_created_kf
+            )
+
+        if run_ba and kf % self.ba_every_n_kf == 0:
+            info = self.map.local_ba(kf)
+            if info.get("ran"):
+                # adopt the BA-refined pose for the current camera
+                self.Tcw = self.map.keyframes.Tcw[kf].copy()
+
+    # ---------------- helpers ----------------
+
+    def _local_point_ids(self, assign: np.ndarray) -> np.ndarray:
+        """update_local_keyframes + update_local_points (Tracking.py:392-436):
+        KFs observing currently-assigned landmarks, plus their best
+        covisible neighbors; local points = union of their observations."""
+        cap = self.cfg.tracking.max_local_points
+        votes: dict = {}
+        for lmid in assign[assign >= 0]:
+            for k in self.map.lm_obs.get(int(lmid), {}):
+                votes[k] = votes.get(k, 0) + 1
+        if not votes:
+            return np.empty(0, np.int32)
+        local_kfs = list(votes)
+        for k in sorted(votes, key=votes.get, reverse=True)[:10]:
+            local_kfs.extend(self.map.covisible_neighbors(k, 10))
+        seen_kf = set()
+        ids: list = []
+        seen_lm = set(int(i) for i in assign[assign >= 0])
+        for k in local_kfs:
+            if k in seen_kf:
+                continue
+            seen_kf.add(k)
+            obs = self.map.keyframes.obs_lm[k]
+            for lmid in obs[obs >= 0]:
+                lmid = int(lmid)
+                if lmid not in seen_lm and self.map.landmarks.alive[lmid]:
+                    seen_lm.add(lmid)
+                    ids.append(lmid)
+            if len(ids) >= cap:
+                break
+        return np.asarray(ids[:cap], np.int32)
+
+    def _create_landmarks(self, frame: StereoFrame, Tcw: np.ndarray,
+                          limit: Optional[int],
+                          existing: Optional[np.ndarray] = None) -> np.ndarray:
+        """Depth-ordered stereo landmark creation (create_new_key_frame,
+        Tracking.py:523-576)."""
+        lm = self.map.landmarks
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid)
+        octave = np.asarray(frame.octave)
+        desc = np.asarray(frame.desc)
+        assign = (existing.copy() if existing is not None
+                  else np.full(frame.capacity, -1, np.int32))
+
+        Twc = np.linalg.inv(Tcw)
+        pts_w = np.asarray(unproject(frame, self.cfg, jnp.asarray(Twc, jnp.float32)))
+        Ow = Twc[:3, 3]
+
+        cand = np.nonzero((depth > 0) & valid & (assign < 0))[0]
+        cand = cand[np.argsort(depth[cand])]
+        if limit is not None:
+            th_depth = self.cfg.camera.depth_threshold
+            total = int((assign >= 0).sum())
+            take = []
+            for i in cand:
+                take.append(i)
+                total += 1
+                if depth[i] > th_depth and total > limit:
+                    break
+            cand = np.array(take, dtype=np.int64)
+        if len(cand) == 0:
+            return assign
+
+        po = pts_w[cand] - Ow
+        dist = np.linalg.norm(po, axis=1)
+        normal = po / np.maximum(dist[:, None], 1e-6)
+        ids = lm.add(
+            pts_w[cand], desc[cand], normal, dist, octave[cand],
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+            ref_kf=self.map.keyframes.n,
+        )
+        assign[cand] = ids
+        return assign

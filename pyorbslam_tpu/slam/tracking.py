@@ -55,7 +55,7 @@ def _bounds_vec(cfg: SlamConfig) -> jnp.ndarray:
     return jnp.asarray([0.0, c.width - 1.0, 0.0, c.height - 1.0], jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "th_base"))
 def motion_track_step(
     frame: StereoFrame,
     q_pos: jnp.ndarray,        # (Q, 3) landmark world positions (per last-frame slot)
@@ -66,6 +66,7 @@ def motion_track_step(
     Tcw_pred: jnp.ndarray,     # (4, 4) velocity-model prediction
     Tlw: jnp.ndarray,          # (4, 4) last frame pose (for fwd/bwd octave logic)
     cfg: SlamConfig,
+    th_base: float = 7.0,      # search radius tier; retried wider by the host
 ) -> TrackStepResult:
     cam = _cam_vec(cfg)
     bounds = _bounds_vec(cfg)
@@ -105,9 +106,9 @@ def motion_track_step(
         )
         return idx, matched
 
-    idx1, m1 = run(7.0)
+    idx1, m1 = run(th_base)
     n1 = jnp.sum(m1.astype(jnp.int32))
-    idx2, m2 = run(14.0)
+    idx2, m2 = run(2.0 * th_base)
     use_wide = n1 < 20
     idx = jnp.where(use_wide, idx2, idx1)
     matched = jnp.where(use_wide, m2, m1)
@@ -152,6 +153,7 @@ class LocalTrackResult(NamedTuple):
     tracked: jnp.ndarray      # (N,) bool: any assignment surviving pose opt
     inlier_edge: jnp.ndarray  # (N,) bool
     n_inliers: jnp.ndarray    # () int32 (mnMatchesInliers analog)
+    p_visible: jnp.ndarray    # (P,) bool: local point passed the frustum gate
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -230,6 +232,7 @@ def local_track_step(
     return LocalTrackResult(
         Tcw=result.Tcw, feat_local=feat_local, tracked=tracked,
         inlier_edge=result.inliers, n_inliers=n_inliers,
+        p_visible=active,
     )
 
 

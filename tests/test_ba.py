@@ -1,0 +1,140 @@
+"""Schur-reduced bundle adjustment unit tests on synthetic problems."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyorbslam_tpu.geometry import se3
+from pyorbslam_tpu.optim import ba
+
+
+def make_ba_problem(
+    rng, n_cam=8, n_pnt=200, noise_px=0.3, pose_noise=0.05, pnt_noise=0.10,
+    outlier_frac=0.0, pad_cam=0, pad_pnt=0,
+):
+    fx = fy = 400.0
+    cx, cy = 320.0, 120.0
+    bf = 180.0
+    cam_vec = np.array([fx, fy, cx, cy, bf], np.float32)
+
+    # cameras along a line, looking +z
+    T_true = np.tile(np.eye(4, dtype=np.float32), (n_cam, 1, 1))
+    for i in range(n_cam):
+        T_true[i, :3, 3] = [-0.8 * i + rng.normal(0, 0.1), rng.normal(0, 0.05), rng.normal(0, 0.1)]
+
+    pts = np.stack([
+        rng.uniform(-12, 12, n_pnt), rng.uniform(-4, 4, n_pnt),
+        rng.uniform(6, 40, n_pnt),
+    ], 1).astype(np.float32)
+
+    obs_cam, obs_pnt, obs_uvr = [], [], []
+    for c in range(n_cam):
+        Pc = pts @ T_true[c, :3, :3].T + T_true[c, :3, 3]
+        u = fx * Pc[:, 0] / Pc[:, 2] + cx
+        v = fy * Pc[:, 1] / Pc[:, 2] + cy
+        ur = u - bf / Pc[:, 2]
+        vis = (Pc[:, 2] > 1) & (u > 0) & (u < 640) & (v > 0) & (v < 240)
+        ids = np.nonzero(vis)[0]
+        obs_cam += [c] * len(ids)
+        obs_pnt += ids.tolist()
+        obs_uvr.append(np.stack([u[ids], v[ids], ur[ids]], 1))
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pnt = np.array(obs_pnt, np.int32)
+    obs_uvr = np.concatenate(obs_uvr).astype(np.float32)
+    obs_uvr += rng.normal(0, noise_px, obs_uvr.shape).astype(np.float32)
+
+    n_out = int(outlier_frac * len(obs_cam))
+    if n_out:
+        sel = rng.choice(len(obs_cam), n_out, replace=False)
+        obs_uvr[sel, :2] += rng.uniform(15, 60, (n_out, 2)).astype(np.float32)
+
+    # perturb initial estimates (first camera fixed at truth)
+    T0 = T_true.copy()
+    for i in range(1, n_cam):
+        xi = np.concatenate([
+            rng.normal(0, pose_noise * 0.2, 3), rng.normal(0, pose_noise, 3)
+        ]).astype(np.float32)
+        T0[i] = np.asarray(se3.exp_se3(jnp.asarray(xi))) @ T_true[i]
+    p0 = pts + rng.normal(0, pnt_noise, pts.shape).astype(np.float32)
+
+    C = n_cam + pad_cam
+    P = n_pnt + pad_pnt
+    O = len(obs_cam)
+    prob = ba.BAProblem(
+        cam_Tcw=jnp.asarray(np.concatenate([T0, np.tile(np.eye(4, dtype=np.float32), (pad_cam, 1, 1))])),
+        cam_fixed=jnp.asarray(np.array([True] + [False] * (n_cam - 1) + [True] * pad_cam)),
+        pnt_pos=jnp.asarray(np.concatenate([p0, np.zeros((pad_pnt, 3), np.float32)])),
+        pnt_active=jnp.asarray(np.array([True] * n_pnt + [False] * pad_pnt)),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pnt=jnp.asarray(obs_pnt),
+        obs_uvr=jnp.asarray(obs_uvr),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_active=jnp.ones(O, bool),
+        cam=jnp.asarray(cam_vec),
+    )
+    return prob, T_true, pts
+
+
+class TestBundleAdjust:
+    def test_clean_recovery(self):
+        rng = np.random.default_rng(0)
+        prob, T_true, pts = make_ba_problem(rng, noise_px=0.0)
+        res = ba.bundle_adjust(prob)
+        cam_err = np.linalg.norm(
+            np.asarray(res.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        assert cam_err.max() < 5e-3, cam_err
+        pnt_err = np.linalg.norm(np.asarray(res.pnt_pos) - pts, axis=1)
+        assert np.median(pnt_err) < 2e-2, np.median(pnt_err)
+
+    def test_noisy_recovery_improves_initialization(self):
+        rng = np.random.default_rng(1)
+        prob, T_true, pts = make_ba_problem(
+            rng, noise_px=0.4, pose_noise=0.08, pnt_noise=0.15
+        )
+        res = ba.bundle_adjust(prob)
+        init_err = np.linalg.norm(
+            np.asarray(prob.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        final_err = np.linalg.norm(
+            np.asarray(res.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        assert final_err.mean() < 0.3 * init_err.mean(), (init_err, final_err)
+        # far cameras drift from the single gauge anchor; 0.4px noise at
+        # 6-40m depth bounds accuracy to a few cm
+        assert final_err.max() < 0.06
+
+    def test_outlier_gating(self):
+        rng = np.random.default_rng(2)
+        prob, T_true, pts = make_ba_problem(
+            rng, noise_px=0.3, outlier_frac=0.15
+        )
+        res = ba.bundle_adjust(prob)
+        n_obs = len(np.asarray(prob.obs_cam))
+        inlier_rate = float(np.asarray(res.obs_inlier).mean())
+        assert 0.75 < inlier_rate < 0.92, inlier_rate
+        final_err = np.linalg.norm(
+            np.asarray(res.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        assert final_err.max() < 0.03, final_err
+
+    def test_padding_is_inert(self):
+        rng = np.random.default_rng(3)
+        prob_a, T_true, _ = make_ba_problem(rng, noise_px=0.2)
+        rng = np.random.default_rng(3)
+        prob_b, _, _ = make_ba_problem(rng, noise_px=0.2, pad_cam=4, pad_pnt=50)
+        res_a = ba.bundle_adjust(prob_a)
+        res_b = ba.bundle_adjust(prob_b)
+        n_cam = T_true.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(res_a.cam_Tcw), np.asarray(res_b.cam_Tcw)[:n_cam],
+            atol=1e-4,
+        )
+
+    def test_fixed_camera_untouched(self):
+        rng = np.random.default_rng(4)
+        prob, T_true, _ = make_ba_problem(rng, noise_px=0.3)
+        res = ba.bundle_adjust(prob)
+        np.testing.assert_allclose(
+            np.asarray(res.cam_Tcw)[0], np.asarray(prob.cam_Tcw)[0], atol=1e-7
+        )

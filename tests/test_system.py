@@ -1,0 +1,94 @@
+"""Full-pipeline integration: tracking + covisibility + local Schur BA."""
+
+import numpy as np
+import pytest
+
+from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from pyorbslam_tpu.io.synthetic import generate_sequence
+from pyorbslam_tpu.slam.system import System
+from pyorbslam_tpu.utils.metrics import ate_rmse
+
+
+def make_cfg(seq):
+    return SlamConfig(
+        camera=CameraConfig(
+            fx=float(seq.K[0, 0]), fy=float(seq.K[1, 1]),
+            cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
+            width=seq.left.shape[2], height=seq.left.shape[1],
+            bf=seq.bf, th_depth=40.0,
+        ),
+        orb=OrbConfig(n_features=1000),
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_run(data_cache_dir):
+    seq = generate_sequence(
+        n_frames=80, width=512, height=160, trajectory="loop",
+        seed=11, cache_dir=data_cache_dir,
+    )
+    sysm = System(make_cfg(seq))
+    n = 40  # half the circle: sustained 4.5 deg/frame turn
+    for i in range(n):
+        sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+    est_wc = np.linalg.inv(np.stack(sysm.trajectory))
+    return sysm, est_wc, seq, n
+
+
+class TestSystem:
+    def test_turning_ate(self, loop_run):
+        sysm, est_wc, seq, n = loop_run
+        ate = ate_rmse(est_wc, seq.poses_wc[:n])
+        track_len = np.linalg.norm(
+            np.diff(seq.poses_wc[:n, :3, 3], axis=0), axis=1).sum()
+        assert ate < 2.0, f"ATE {ate:.3f} m over {track_len:.1f} m turning"
+
+    def test_no_lost_frames_while_turning(self, loop_run):
+        sysm, _, _, _ = loop_run
+        weak = sum(1 for s in sysm.stats if s["inliers"] < 20)
+        assert weak == 0, f"{weak} weak frames"
+
+    def test_map_structures_consistent(self, loop_run):
+        sysm, _, _, _ = loop_run
+        m = sysm.map
+        assert m.keyframes.n >= 3
+        # covisibility symmetry
+        for k, nbrs in m.covis.items():
+            for o, w in nbrs.items():
+                assert m.covis[o].get(k) == w
+        # observation cross-consistency: lm_obs matches obs_lm
+        for lm, obs in list(m.lm_obs.items())[:500]:
+            for kf, feat in obs.items():
+                assert m.keyframes.obs_lm[kf, feat] == lm
+        # every alive landmark referenced from some KF has sane geometry
+        alive = np.nonzero(m.landmarks.alive[:m.landmarks.n])[0]
+        assert np.isfinite(m.landmarks.pos[alive]).all()
+
+    def test_local_ba_improves_or_holds_reprojection(self, data_cache_dir):
+        """BA path on a short straight run must not degrade trajectory vs
+        no-BA, and must erase some outlier observations."""
+        seq = generate_sequence(
+            n_frames=30, width=512, height=160, trajectory="straight",
+            speed=0.8, seed=3, cache_dir=data_cache_dir,
+        )
+        sys_ba = System(make_cfg(seq))
+        for i in range(30):
+            sys_ba.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+        est = np.linalg.inv(np.stack(sys_ba.trajectory))
+        ate = ate_rmse(est, seq.poses_wc[:30])
+        assert ate < 0.25, f"ATE with BA {ate:.3f}"
+
+    def test_localization_only_mode_adds_no_keyframes(self, data_cache_dir):
+        seq = generate_sequence(
+            n_frames=30, width=512, height=160, trajectory="straight",
+            speed=0.8, seed=3, cache_dir=data_cache_dir,
+        )
+        sysm = System(make_cfg(seq))
+        for i in range(10):
+            sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+        kfs_before = sysm.map.keyframes.n
+        sysm.activate_localization_mode()
+        for i in range(10, 20):
+            sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+        assert sysm.map.keyframes.n == kfs_before
+        sysm.deactivate_localization_mode()
