@@ -166,6 +166,52 @@ def match_by_projection(
     return jnp.where(matched, best_idx, -1), best, matched
 
 
+def match_by_bow(
+    q_desc_bits: jnp.ndarray,  # (Q, 256) int8  (keyframe side)
+    q_pop: jnp.ndarray,
+    q_node: jnp.ndarray,       # (Q,) int32 vocabulary node at level L-4
+    q_active: jnp.ndarray,     # (Q,) bool
+    f_desc_bits: jnp.ndarray,  # (N, 256) frame side
+    f_pop: jnp.ndarray,
+    f_node: jnp.ndarray,       # (N,)
+    f_active: jnp.ndarray,
+    ratio: float = 0.7,
+    max_dist_th: int = TH_LOW,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """BoW-guided matching (ORBMatcher.search_by_BoW_kf_f:21-118): only
+    descriptor pairs sharing a vocabulary node are compared, with the
+    best/second-best ratio test at TH_LOW.  The node-bucket iteration of
+    the reference becomes an equality mask over the full distance matrix.
+
+    Returns (match_idx (Q,), dist (Q,), matched (Q,)).
+    """
+    dist = ham.hamming_matrix_bits(q_desc_bits, q_pop, f_desc_bits, f_pop)
+    mask = (
+        (q_node[:, None] == f_node[None, :])
+        & q_active[:, None] & f_active[None, :]
+    )
+    BIG = 1_000_000
+    dist = jnp.where(mask, dist, BIG)
+    order = jnp.argsort(dist, axis=1)
+    best_idx = order[:, 0]
+    best = jnp.take_along_axis(dist, best_idx[:, None], 1)[:, 0]
+    second = jnp.take_along_axis(dist, order[:, 1:2], 1)[:, 0]
+    matched = (best <= max_dist_th) & (
+        best.astype(jnp.float32) < ratio * jnp.minimum(second, BIG).astype(jnp.float32)
+    )
+
+    # one query per target feature (keep lowest distance)
+    n = f_desc_bits.shape[0]
+    eff = jnp.where(matched, best, BIG)
+    per_target = jax.ops.segment_min(eff, best_idx, num_segments=n)
+    q_arange = jnp.arange(best.shape[0])
+    winner = jax.ops.segment_min(
+        jnp.where(eff == per_target[best_idx], q_arange, BIG), best_idx, n
+    )
+    matched &= winner[best_idx] == q_arange
+    return jnp.where(matched, best_idx, -1), best, matched
+
+
 def rotation_consistency_mask(
     q_angle: jnp.ndarray, f_angle: jnp.ndarray, match_idx: jnp.ndarray,
     matched: jnp.ndarray, apply_ratio_cut: bool = True,

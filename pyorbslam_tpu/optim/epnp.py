@@ -137,8 +137,7 @@ def _gauss_newton_betas(L, rho, betas, iters: int = 5):
 
 def _pose_from_betas(V, betas, alphas, Xw):
     """Camera control points from betas -> Horn alignment world->camera."""
-    ccs = (betas[:, None] @ V.reshape(1, 4, 12).squeeze(0).reshape(4, 12)).reshape(4, 3)
-    # ccs = sum_k beta_k * v_k, reshaped to 4 control points
+    ccs = (betas @ V).reshape(4, 3)  # sum_k beta_k * v_k -> 4 control points
     pcs = alphas @ ccs                               # (n, 3) camera-frame points
     # enforce positive depth (EPnP sign ambiguity)
     flip = jnp.sum(jnp.sign(pcs[:, 2])) < 0

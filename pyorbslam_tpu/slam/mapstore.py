@@ -116,13 +116,14 @@ class KeyFrameStore:
         self.kp_octave = np.zeros((c, f), np.int32)
         self.kp_angle = np.zeros((c, f), np.float32)
         self.kp_desc = np.zeros((c, f, 8), np.uint32)
+        self.kp_node = np.full((c, f), -1, np.int32)   # vocab node (BoW matching)
         self.kp_valid = np.zeros((c, f), bool)
         self.u_right = np.full((c, f), -1.0, np.float32)
         self.depth = np.full((c, f), -1.0, np.float32)
         self.obs_lm = np.full((c, f), -1, np.int32)
 
     def add(self, Tcw, frame_id, timestamp, kp_xy, kp_octave, kp_angle,
-            kp_desc, kp_valid, u_right, depth, obs_lm) -> int:
+            kp_desc, kp_valid, u_right, depth, obs_lm, kp_node=None) -> int:
         if self.n >= self.capacity:
             raise RuntimeError(f"KeyFrameStore capacity {self.capacity} exceeded")
         k = self.n
@@ -134,6 +135,8 @@ class KeyFrameStore:
         self.kp_octave[k] = kp_octave
         self.kp_angle[k] = kp_angle
         self.kp_desc[k] = kp_desc
+        if kp_node is not None:
+            self.kp_node[k] = kp_node
         self.kp_valid[k] = kp_valid
         self.u_right[k] = u_right
         self.depth[k] = depth

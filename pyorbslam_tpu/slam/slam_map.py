@@ -68,7 +68,8 @@ class SlamMap:
     # ------------- keyframe insertion -------------
 
     def add_keyframe(self, frame_np: dict, Tcw: np.ndarray, assign: np.ndarray,
-                     frame_id: int, timestamp: float) -> int:
+                     frame_id: int, timestamp: float,
+                     kp_node: Optional[np.ndarray] = None) -> int:
         """frame_np: dict of numpy arrays (xy, octave, angle, desc, valid,
         u_right, depth); assign: (N,) landmark id per feature (-1 = none)."""
         kf = self.keyframes.add(
@@ -77,6 +78,7 @@ class SlamMap:
             kp_angle=frame_np["angle"], kp_desc=frame_np["desc"],
             kp_valid=frame_np["valid"], u_right=frame_np["u_right"],
             depth=frame_np["depth"], obs_lm=assign.astype(np.int32),
+            kp_node=kp_node,
         )
         feat_idx = np.nonzero(assign >= 0)[0]
         for i in feat_idx:

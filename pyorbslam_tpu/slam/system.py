@@ -16,11 +16,19 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pyorbslam_tpu.config import SlamConfig
 from pyorbslam_tpu.io.kitti import save_trajectory_kitti
+from pyorbslam_tpu.ops import matching as match_ops
+from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
+from pyorbslam_tpu.optim import pose_opt
+from pyorbslam_tpu.optim.epnp import epnp_ransac
+from pyorbslam_tpu.place import vocabulary as vocab_mod
+from pyorbslam_tpu.place.keyframe_db import KeyFrameDatabase
+from pyorbslam_tpu.place.vocabulary import Vocabulary
 from pyorbslam_tpu.slam.frame import StereoFrame, build_stereo_frame_jit, unproject
 from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import local_track_step, motion_track_step
@@ -33,6 +41,7 @@ class System:
     keyframe_capacity: int = 4096
     ba_every_n_kf: int = 1          # local BA cadence (1 = every KF)
     localization_only: bool = False
+    vocabulary: Optional[Vocabulary] = None  # trained lazily if absent
 
     def __post_init__(self):
         self.reset()
@@ -43,6 +52,10 @@ class System:
         self.map = SlamMap(
             self.cfg, self.landmark_capacity, self.keyframe_capacity
         )
+        self.kfdb = (
+            KeyFrameDatabase(self.vocabulary) if self.vocabulary else None
+        )
+        self.last_reloc_frame = -10**9
         self.state = "NOT_INITIALIZED"
         self.Tcw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
@@ -87,6 +100,13 @@ class System:
         n_valid = int(np.asarray(frame.valid).sum())
         if n_valid <= 500:
             return
+        if self.vocabulary is None:
+            # no ORBvoc.txt available: train a scene vocabulary from the
+            # initial frame's descriptors (DBoW2 k-majority construction)
+            d = np.asarray(frame.desc)[np.asarray(frame.valid)]
+            self.vocabulary = vocab_mod.train(d, k=10, L=3, seed=0)
+        if self.kfdb is None:
+            self.kfdb = KeyFrameDatabase(self.vocabulary)
         self.Tcw = np.eye(4, dtype=np.float32)
         assign = self._create_landmarks(frame, self.Tcw, limit=None)
         self._insert_keyframe(frame, assign, timestamp, run_ba=False)
@@ -165,9 +185,15 @@ class System:
         lm.visible[found_ids] += 1
 
         if n_inliers < 20:
-            self.state = "WEAK"
-            self.Tcw = Tcw_pred
-            assign = np.full(frame.capacity, -1, np.int32)
+            reloc = self._relocalize(frame)
+            if reloc is not None:
+                self.state = "OK"
+                self.Tcw, assign = reloc
+                self.last_reloc_frame = self.frame_id
+            else:
+                self.state = "WEAK"
+                self.Tcw = Tcw_pred
+                assign = np.full(frame.capacity, -1, np.int32)
         else:
             self.state = "OK"
             self.Tcw = np.asarray(lres.Tcw)
@@ -182,10 +208,11 @@ class System:
         tracked_close = int(((depth > 0) & (depth < th_depth) & (assign >= 0)).sum())
         non_tracked_close = int(((depth > 0) & (depth < th_depth) & (assign < 0)).sum())
         need_close = tracked_close < 100 and non_tracked_close > 70
-        need_kf = not self.localization_only and (
-            (n_inliers > 15
-             and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames))
-            or self.state == "WEAK"
+        # note: WEAK frames insert no keyframe — relocalization (above)
+        # is the recovery path, matching the reference state machine
+        need_kf = not self.localization_only and self.state == "OK" and (
+            n_inliers > 15
+            and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames)
         )
         if need_kf:
             assign = self._create_landmarks(frame, self.Tcw, limit=100,
@@ -211,9 +238,13 @@ class System:
             valid=np.asarray(frame.valid), u_right=np.asarray(frame.u_right),
             depth=np.asarray(frame.depth),
         )
+        word, wweight, node = self.vocabulary.transform(frame.desc)
         kf = self.map.add_keyframe(
-            frame_np, self.Tcw, assign, self.frame_id, timestamp
+            frame_np, self.Tcw, assign, self.frame_id, timestamp,
+            kp_node=node,
         )
+        bow = self.vocabulary.bow_vector(word, wweight, frame_np["valid"])
+        self.kfdb.add(kf, bow)
         new_ids = assign[(assign >= 0) & (self.lm_created_kf[np.maximum(assign, 0)] < 0)]
         self.lm_created_kf[new_ids] = kf
         self.recent_lms.append(np.unique(assign[assign >= 0]))
@@ -230,6 +261,128 @@ class System:
             if info.get("ran"):
                 # adopt the BA-refined pose for the current camera
                 self.Tcw = self.map.keyframes.Tcw[kf].copy()
+
+    # ---------------- relocalization ----------------
+
+    def _relocalize(self, frame: StereoFrame):
+        """Tracking.relocalization (Tracking.py:661-763): BoW candidates ->
+        BoW matching (>=15) -> batched EPnP RANSAC -> pose optimization,
+        accepted at >=50 stereo inliers after a final refinement."""
+        if self.kfdb is None or self.map.keyframes.n == 0:
+            return None
+        frame_valid = np.asarray(frame.valid)
+        word, wweight, node = self.vocabulary.transform(frame.desc)
+        qbow = self.vocabulary.bow_vector(word, wweight, frame_valid)
+        cands = self.kfdb.detect_relocalization_candidates(
+            qbow, self.map.covisible_neighbors
+        )[:5]
+        if not cands:
+            return None
+
+        f_bits = unpack_bits(frame.desc)
+        f_pop = popcount(frame.desc)
+        f_node = jnp.asarray(node)
+        cam4 = jnp.asarray(
+            [self.cfg.camera.fx, self.cfg.camera.fy,
+             self.cfg.camera.cx, self.cfg.camera.cy], jnp.float32)
+        cam5 = jnp.asarray(
+            [self.cfg.camera.fx, self.cfg.camera.fy, self.cfg.camera.cx,
+             self.cfg.camera.cy, self.cfg.camera.bf], jnp.float32)
+        sigma2 = np.asarray(self.cfg.orb.level_sigma2)
+        inv_sigma2_feat = np.asarray(self.cfg.orb.inv_level_sigma2)[
+            np.asarray(frame.octave)]
+
+        for kf in cands:
+            ks = self.map.keyframes
+            kf_lm = ks.obs_lm[kf]
+            q_active = kf_lm >= 0
+            kf_desc = jnp.asarray(ks.kp_desc[kf])
+            idx, dist, matched = match_ops.match_by_bow(
+                unpack_bits(kf_desc), popcount(kf_desc),
+                jnp.asarray(ks.kp_node[kf]), jnp.asarray(q_active),
+                f_bits, f_pop, f_node, jnp.asarray(frame_valid),
+            )
+            matched = np.asarray(matched)
+            idx = np.asarray(idx)
+            if matched.sum() < 15:
+                continue
+            # correspondences: frame feature -> landmark world pos
+            qi = np.nonzero(matched)[0]
+            fi = idx[qi]
+            lm_ids = self.map.landmarks.resolve(kf_lm[qi])
+            ok = lm_ids >= 0
+            qi, fi, lm_ids = qi[ok], fi[ok], lm_ids[ok]
+            if len(qi) < 15:
+                continue
+            Xw = self.map.landmarks.pos[lm_ids]
+            f_xy = np.asarray(frame.xy)[fi]
+            f_oct = np.asarray(frame.octave)[fi]
+
+            n = len(qi)
+            res = epnp_ransac(
+                jnp.asarray(Xw), jnp.asarray(f_xy),
+                jnp.asarray(sigma2[f_oct]), jnp.ones(n, bool), cam4,
+                jax.random.PRNGKey(self.frame_id),
+            )
+            if not bool(res.ok):
+                continue
+            Tcw0 = np.eye(4, dtype=np.float32)
+            Tcw0[:3, :3] = np.asarray(res.R)
+            Tcw0[:3, 3] = np.asarray(res.t)
+
+            # motion-only refinement over the matched set
+            assign = np.full(frame.capacity, -1, np.int32)
+            assign[fi] = lm_ids
+            has = assign >= 0
+            Xw_full = self.map.landmarks.pos[np.maximum(assign, 0)]
+            obs = np.stack([
+                np.asarray(frame.xy)[:, 0], np.asarray(frame.xy)[:, 1],
+                np.asarray(frame.u_right)], 1)
+            edge_active = has & (np.asarray(frame.u_right) > 0) & frame_valid
+            pres = pose_opt.pose_optimization(
+                jnp.asarray(Tcw0), jnp.asarray(Xw_full), jnp.asarray(obs),
+                jnp.asarray(inv_sigma2_feat), jnp.asarray(edge_active), cam5,
+            )
+            if int(pres.num_inliers) < 10:
+                continue
+            inl = np.asarray(pres.inliers)
+            assign = np.where(edge_active & ~inl, -1, assign)
+
+            # projection rescue (Tracking.py:724-755): project all of the
+            # candidate KF's landmarks with the coarse pose, re-match and
+            # re-optimize
+            lm = self.map.landmarks
+            kf_pts = lm.resolve(kf_lm)
+            kf_pts = np.unique(kf_pts[kf_pts >= 0])
+            kf_pts = kf_pts[lm.alive[kf_pts]]
+            cap = self.cfg.tracking.max_local_points
+            p_ids = np.full(cap, -1, np.int32)
+            p_ids[: len(kf_pts)] = kf_pts[:cap]
+            p_safe = np.maximum(p_ids, 0)
+            has = assign >= 0
+            lres = local_track_step(
+                frame,
+                jnp.asarray(lm.pos[np.maximum(assign, 0)]),
+                jnp.asarray(has),
+                jnp.asarray(lm.pos[p_safe]),
+                jnp.asarray(lm.desc[p_safe]),
+                jnp.asarray(lm.normal[p_safe]),
+                jnp.asarray(lm.dmin[p_safe]),
+                jnp.asarray(lm.dmax[p_safe]),
+                jnp.asarray(p_ids >= 0),
+                jnp.asarray(np.asarray(pres.Tcw)),
+                self.cfg,
+            )
+            if int(lres.n_inliers) < 30:
+                continue
+            feat_local = np.asarray(lres.feat_local)
+            tracked = np.asarray(lres.tracked)
+            assign = np.where(
+                feat_local >= 0, p_ids[np.maximum(feat_local, 0)], assign
+            )
+            assign = np.where(tracked, assign, -1)
+            return np.asarray(lres.Tcw), assign
+        return None
 
     # ---------------- helpers ----------------
 
