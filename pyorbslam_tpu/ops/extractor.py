@@ -49,10 +49,13 @@ def _pad_axis0(arr: jnp.ndarray, total: int):
     return jnp.pad(arr, widths)
 
 
-def extract_features(img: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
+def extract_features(img: jnp.ndarray, orb: OrbConfig,
+                     levels=None) -> FrameFeatures:
     """img: float32 (H, W) in [0, 255] -> FrameFeatures with capacity
-    ``orb.max_keypoints``."""
-    levels = pyr_ops.build_pyramid(img, orb.scale_factor, orb.n_levels)
+    ``orb.max_keypoints``.  Pass prebuilt pyramid ``levels`` to share it
+    with downstream consumers (stereo SAD atlas)."""
+    if levels is None:
+        levels = pyr_ops.build_pyramid(img, orb.scale_factor, orb.n_levels)
     budgets = orb.features_per_level
     scale_factors = orb.scale_factors
 
@@ -68,7 +71,8 @@ def extract_features(img: jnp.ndarray, orb: OrbConfig) -> FrameFeatures:
             score, int(budgets[l]), orb.bucket_size, orb.per_bucket_cap
         )
         padded_raw = pyr_ops.reflect_pad(level_img, desc_ops.BORDER)
-        ang = desc_ops.ic_angle(padded_raw, xy)
+        m10_map, m01_map = desc_ops.moment_maps(padded_raw)
+        ang = desc_ops.ic_angle_from_maps(m10_map, m01_map, xy)
         blurred = pyr_ops.gaussian_blur(level_img)
         padded_blur = pyr_ops.reflect_pad(blurred, desc_ops.BORDER)
         d = desc_ops.brief_descriptors(padded_blur, xy, ang)

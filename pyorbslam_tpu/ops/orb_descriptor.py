@@ -92,6 +92,10 @@ def ic_angle(padded_level: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
     padded_level is the *unblurred* level image with BORDER reflect pad
     (the reference computes orientation pre-blur: operator_kd order).
+    Reference formulation: per-keypoint 31x31 patch gather + moment dot.
+    Kept for golden tests; the production extractor uses
+    :func:`moment_maps` + :func:`ic_angle_from_maps` (identical math,
+    no per-keypoint gathers).
     """
     hp = HALF_PATCH_SIZE
     offs = np.arange(-hp, hp + 1, dtype=np.int32)
@@ -103,6 +107,69 @@ def ic_angle(padded_level: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     W = jnp.stack([jnp.asarray(wx), jnp.asarray(wy)], axis=1)  # (961, 2)
     m = jnp.dot(patches, W, preferred_element_type=jnp.float32)  # (N, 2)
     ang = jnp.degrees(jnp.arctan2(m[:, 1], m[:, 0]))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def moment_maps(padded_level: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-image intensity-centroid moment maps (m10, m01).
+
+    TPU reformulation of IC_Angle: per-keypoint patch gathers (3.8M
+    gathered pixels/frame, the profiled hot spot) become row-cumulative
+    sums + 31 shifted window reads per map — pure VPU passes.  For the
+    circular patch, each row dy contributes the interval |dx| <= umax(dy):
+
+      m10(y,x) = sum_dy [ cumJ(y+dy, x+d) - cumJ(y+dy, x-d-1) ]
+                 - x * [ cumI(...same window...) ]
+      m01(y,x) = sum_dy dy * [ cumI window sum ]
+
+    with cumI = cumsum(I, axis=1), cumJ = cumsum(col * I, axis=1).
+    Exact same moments as the reference's circular mask.
+    Input is the (H + 2*BORDER, W + 2*BORDER) padded level; outputs have
+    the same shape, valid wherever the full patch fits.
+    """
+    hp = HALF_PATCH_SIZE
+    umax = umax_table()
+    hpd, wpd = padded_level.shape
+    cols = jnp.arange(wpd, dtype=jnp.float32)[None, :]
+    I = padded_level
+    # prepend a zero column so cum[x] = sum of cols [0, x-1]; window
+    # [x-d, x+d] = cum[x+d+1] - cum[x-d]
+    cumI = jnp.concatenate(
+        [jnp.zeros((hpd, 1), I.dtype), jnp.cumsum(I, axis=1)], axis=1)
+    cumJ = jnp.concatenate(
+        [jnp.zeros((hpd, 1), I.dtype), jnp.cumsum(cols * I, axis=1)], axis=1)
+
+    xs = jnp.arange(wpd, dtype=jnp.float32)[None, :]
+    m10 = jnp.zeros_like(I)
+    m01 = jnp.zeros_like(I)
+    for dy in range(-hp, hp + 1):
+        d = int(umax[abs(dy)])
+        # rows shifted by dy: valid only in the interior (border >= hp)
+        rowI = jax.lax.dynamic_slice(
+            cumI, (hp + dy, 0), (hpd - 2 * hp, wpd + 1))
+        rowJ = jax.lax.dynamic_slice(
+            cumJ, (hp + dy, 0), (hpd - 2 * hp, wpd + 1))
+        # window [x-d, x+d]: starts x-d -> index x-d, end x+d -> x+d+1
+        wI = jax.lax.dynamic_slice(rowI, (0, hp + d + 1), (hpd - 2 * hp, wpd - 2 * hp)) \
+            - jax.lax.dynamic_slice(rowI, (0, hp - d), (hpd - 2 * hp, wpd - 2 * hp))
+        wJ = jax.lax.dynamic_slice(rowJ, (0, hp + d + 1), (hpd - 2 * hp, wpd - 2 * hp)) \
+            - jax.lax.dynamic_slice(rowJ, (0, hp - d), (hpd - 2 * hp, wpd - 2 * hp))
+        xin = xs[:, hp:wpd - hp]
+        m10 = m10.at[hp:hpd - hp, hp:wpd - hp].add(wJ - xin * wI)
+        m01 = m01.at[hp:hpd - hp, hp:wpd - hp].add(float(dy) * wI)
+    return m10, m01
+
+
+def ic_angle_from_maps(
+    m10_map: jnp.ndarray, m01_map: jnp.ndarray, xy: jnp.ndarray,
+    border: int = BORDER,
+) -> jnp.ndarray:
+    """Orientation lookup: two gathers per keypoint instead of 961."""
+    wp = m10_map.shape[-1]
+    idx = (xy[:, 1] + border) * wp + (xy[:, 0] + border)
+    m10 = jnp.take(m10_map.reshape(-1), idx, axis=0)
+    m01 = jnp.take(m01_map.reshape(-1), idx, axis=0)
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 

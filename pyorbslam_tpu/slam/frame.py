@@ -47,17 +47,17 @@ def build_stereo_frame(
     left: jnp.ndarray, right: jnp.ndarray, cfg: SlamConfig
 ) -> StereoFrame:
     orb = cfg.orb
-    both = jnp.stack([left, right])
-    feats = jax.vmap(lambda im: extract_features(im, orb))(both)
-    lf: FrameFeatures = jax.tree_util.tree_map(lambda a: a[0], feats)
-    rf: FrameFeatures = jax.tree_util.tree_map(lambda a: a[1], feats)
+    # build each pyramid once and share it between extraction and the
+    # stereo SAD atlas (sequential extraction beats vmap here: the two
+    # images' level shapes are equal but vmapped gathers/top-k lower
+    # worse than the unbatched forms)
+    levels_l = pyr_ops.build_pyramid(left, orb.scale_factor, orb.n_levels)
+    levels_r = pyr_ops.build_pyramid(right, orb.scale_factor, orb.n_levels)
+    lf: FrameFeatures = extract_features(left, orb, levels=levels_l)
+    rf: FrameFeatures = extract_features(right, orb, levels=levels_r)
 
-    atlas_l = stereo_ops.build_atlas(
-        pyr_ops.build_pyramid(left, orb.scale_factor, orb.n_levels)
-    )
-    atlas_r = stereo_ops.build_atlas(
-        pyr_ops.build_pyramid(right, orb.scale_factor, orb.n_levels)
-    )
+    atlas_l = stereo_ops.build_atlas(levels_l)
+    atlas_r = stereo_ops.build_atlas(levels_r)
     scale_factors = jnp.asarray(orb.scale_factors, jnp.float32)
     u_right, depth = stereo_ops.match_stereo(
         lf.xy, lf.octave, lf.desc, lf.valid,

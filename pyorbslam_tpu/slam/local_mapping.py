@@ -1,0 +1,366 @@
+"""Local mapping: triangulation of new points, neighbor fuse, KF culling.
+
+The remaining LocalMapping.py responsibilities beyond what System already
+runs inline (process-new-keyframe bookkeeping, point culling, local BA):
+
+  * :meth:`create_new_points` — LocalMapping.create_new_map_points
+    (LocalMapping.py:152-308): for the 10 best covisible neighbors with
+    baseline > b, run the batched epipolar triangulation kernel and
+    register the surviving points with observations in both keyframes;
+  * :meth:`fuse_neighbors` — LocalMapping.search_in_neighbors
+    (LocalMapping.py:333-383): project the current KF's landmarks into
+    first/second-ring neighbors and vice versa, merging duplicates by
+    observation count (ORBMatcher.fuse_pkf_mp semantics; the chi2
+    reprojection gates become the tight 3*scale search radius + TH_LOW);
+  * :meth:`cull_keyframes` — LocalMapping.key_frame_culling
+    (LocalMapping.py:385-427): drop covisible KFs whose tracked points
+    are >= 90% redundant (seen by >= 3 other KFs at same-or-finer scale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.ops import matching as match_ops
+from pyorbslam_tpu.ops import triangulation as tri_ops
+from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
+from pyorbslam_tpu.slam.slam_map import SlamMap
+
+
+def _fuse_match_one(
+    p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
+    f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,
+    Tcw, cfg: SlamConfig,
+):
+    """Project candidate landmarks into a keyframe and find the feature
+    each one fuses with (radius 3*scale[predicted level], TH_LOW)."""
+    cam = jnp.asarray([cfg.camera.fx, cfg.camera.fy, cfg.camera.cx,
+                       cfg.camera.cy, cfg.camera.bf], jnp.float32)
+    bounds = jnp.asarray([0.0, cfg.camera.width - 1.0, 0.0,
+                          cfg.camera.height - 1.0], jnp.float32)
+    scale_factors = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+
+    proj = match_ops.project_points(Tcw, p_pos, cam, bounds)
+    Ow = match_ops.se3_center(Tcw)
+    in_frustum = match_ops.frustum_gate(
+        proj, p_normal, p_dmin, p_dmax, p_pos, Ow, viewing_cos_limit=0.5)
+    active = p_active & in_frustum
+    pred = match_ops.predict_scale(
+        proj.dist, p_dmax / 1.2, float(np.log(cfg.orb.scale_factor)),
+        cfg.orb.n_levels)
+    radius = 3.0 * scale_factors[pred]
+
+    idx, dist, matched = match_ops.match_by_projection(
+        proj.u, proj.v, proj.ur,
+        unpack_bits(p_desc), popcount(p_desc), radius,
+        pred - 1, pred + 1, active,
+        f_xy, f_octave, f_u_right, unpack_bits(f_desc), popcount(f_desc),
+        f_valid, max_dist_th=match_ops.TH_LOW, ratio=None, stereo_gate=True,
+    )
+    return jnp.where(matched, idx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_match_step(
+    p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
+    f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,
+    Tcw, cfg: SlamConfig,
+):
+    return _fuse_match_one(
+        p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
+        f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_match_batch(
+    p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
+    # per-target keyframe arrays, leading axis T:
+    f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw,
+    cfg: SlamConfig,
+):
+    """Fuse one landmark set into T keyframes in a single dispatch
+    (vmapped over targets) — one device call per KF instead of one per
+    neighbor."""
+    return jax.vmap(
+        lambda xy, oc, an, de, va, ur, T: _fuse_match_one(
+            p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
+            xy, oc, an, de, va, ur, T, cfg)
+    )(f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw)
+
+
+@dataclasses.dataclass
+class LocalMapper:
+    cfg: SlamConfig
+    map: SlamMap
+
+    # ---------------- triangulation ----------------
+
+    def create_new_points(self, kf: int, max_neighbors: int = 10) -> int:
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+        cam = self.cfg.camera
+        cam5 = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy, cam.bf], jnp.float32)
+        sf = jnp.asarray(self.cfg.orb.scale_factors, jnp.float32)
+        s2 = jnp.asarray(self.cfg.orb.level_sigma2, jnp.float32)
+
+        Ow1 = -ks.Tcw[kf, :3, :3].T @ ks.Tcw[kf, :3, 3]
+        n_new = 0
+        neighbors = []
+        for nb in m.covisible_neighbors(kf, max_neighbors):
+            Ow2 = -ks.Tcw[nb, :3, :3].T @ ks.Tcw[nb, :3, 3]
+            if np.linalg.norm(Ow2 - Ow1) < cam.baseline:
+                continue
+            if (ks.kp_valid[nb] & (ks.obs_lm[nb] < 0)).sum() >= 10:
+                neighbors.append(nb)
+        B = 4  # fixed vmap width: top-B baselined neighbors per dispatch
+        neighbors = neighbors[:B]
+        free1 = ks.kp_valid[kf] & (ks.obs_lm[kf] < 0)
+        if not neighbors or free1.sum() < 10:
+            return 0
+        padded = (neighbors + [neighbors[0]] * B)[:B]
+        realn = len(neighbors)
+        sel = np.asarray(padded)
+        batch = tri_ops.triangulate_batch_jit(
+            jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
+            jnp.asarray(ks.kp_desc[kf]), jnp.asarray(ks.u_right[kf]),
+            jnp.asarray(ks.depth[kf]), jnp.asarray(free1),
+            jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
+            jnp.asarray(ks.kp_desc[sel]), jnp.asarray(ks.u_right[sel]),
+            jnp.asarray(ks.depth[sel]), jnp.asarray(
+                ks.kp_valid[sel] & (ks.obs_lm[sel] < 0)),
+            jnp.asarray(ks.Tcw[sel]),
+            jnp.asarray(ks.Tcw[kf]),
+            cam5, jnp.float32(cam.baseline), sf, s2,
+            scale_factor=self.cfg.orb.scale_factor,
+        )
+        batch_valid = np.asarray(batch.valid)
+        batch_i1 = np.asarray(batch.idx1)
+        batch_i2 = np.asarray(batch.idx2)
+        batch_pos = np.asarray(batch.pos_w)
+        claimed = np.zeros(ks.n_features, bool)  # one new point per feature
+        for bi, nb in enumerate(neighbors):
+            valid = batch_valid[bi] & ~claimed[np.maximum(batch_i1[bi], 0)]
+            if not valid.any():
+                continue
+            i1 = batch_i1[bi][valid]
+            i2 = batch_i2[bi][valid]
+            pos = batch_pos[bi][valid]
+            claimed[i1] = True
+            # register: desc/normal/band from the KF1 observation
+            po = pos - Ow1
+            dist = np.linalg.norm(po, axis=1)
+            keep = dist > 1e-6
+            i1, i2, pos, po, dist = i1[keep], i2[keep], pos[keep], po[keep], dist[keep]
+            if len(i1) == 0:
+                continue
+            ids = lm.add(
+                pos, ks.kp_desc[kf, i1], po / dist[:, None], dist,
+                ks.kp_octave[kf, i1], self.cfg.orb.scale_factor,
+                self.cfg.orb.n_levels, ref_kf=kf,
+            )
+            for a, b, p in zip(i1, i2, ids):
+                p = int(p)
+                ks.obs_lm[kf, a] = p
+                ks.obs_lm[nb, b] = p
+                m.lm_obs[p][kf] = int(a)
+                m.lm_obs[p][nb] = int(b)
+                stereo_bonus = (1 if ks.u_right[kf, a] > 0 else 0) + (
+                    1 if ks.u_right[nb, b] > 0 else 0)
+                lm.n_obs[p] = 2 + stereo_bonus
+            n_new += len(ids)
+        if n_new:
+            m.update_connections(kf)
+        return n_new
+
+    # ---------------- fuse ----------------
+
+    FUSE_TARGETS = 8  # fixed vmap width (ring1 top-5 + 3 second-ring)
+
+    def fuse_neighbors(self, kf: int) -> int:
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+
+        ring1 = m.covisible_neighbors(kf, 5)
+        targets = list(dict.fromkeys(
+            ring1 + [k2 for k in ring1 for k2 in m.covisible_neighbors(k, 2)]))
+        targets = [t for t in targets if t != kf and ks.alive[t]]
+        targets = targets[: self.FUSE_TARGETS]
+        if not targets:
+            return 0
+
+        cur_pts = lm.resolve(ks.obs_lm[kf])
+        cur_pts = np.unique(cur_pts[cur_pts >= 0])
+        cur_pts = cur_pts[lm.alive[cur_pts]]
+        if len(cur_pts) == 0:
+            return 0
+
+        def bucket(n):
+            for b in (1024, 2048, 4096, 8192):
+                if n <= b:
+                    return b
+            return self.cfg.tracking.max_local_points
+
+        cap = bucket(len(cur_pts))
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(cur_pts)] = cur_pts[:cap]
+        safe = np.maximum(p_ids, 0)
+
+        # pad the target list to the fixed vmap width (repeats are inert:
+        # their matches are applied idempotently)
+        T = self.FUSE_TARGETS
+        tgt = (targets + [targets[0]] * T)[:T]
+        sel = np.asarray(tgt)
+        matches = np.asarray(fuse_match_batch(
+            jnp.asarray(lm.pos[safe]), jnp.asarray(lm.desc[safe]),
+            jnp.asarray(lm.normal[safe]), jnp.asarray(lm.dmin[safe]),
+            jnp.asarray(lm.dmax[safe]), jnp.asarray(p_ids >= 0),
+            jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
+            jnp.asarray(ks.kp_angle[sel]), jnp.asarray(ks.kp_desc[sel]),
+            jnp.asarray(ks.kp_valid[sel]), jnp.asarray(ks.u_right[sel]),
+            jnp.asarray(ks.Tcw[sel]), self.cfg,
+        ))  # (T, cap)
+
+        n_fused = 0
+        for ti, target_kf in enumerate(targets):
+            match = matches[ti]
+            for slot in np.nonzero(match >= 0)[0]:
+                p = int(p_ids[slot])
+                feat = int(match[slot])
+                if p < 0 or not lm.alive[p]:
+                    continue
+                p = int(lm.resolve(np.asarray([p]))[0])
+                if p < 0 or not lm.alive[p]:
+                    continue
+                q = int(ks.obs_lm[target_kf, feat])
+                if q == p:
+                    continue
+                if q >= 0 and lm.alive[q]:
+                    # duplicate: keep the better-observed landmark
+                    if lm.n_obs[p] >= lm.n_obs[q]:
+                        m.replace_landmark(q, p)
+                    else:
+                        m.replace_landmark(p, q)
+                else:
+                    ks.obs_lm[target_kf, feat] = p
+                    m.lm_obs[p][target_kf] = feat
+                    lm.n_obs[p] += 2 if ks.u_right[target_kf, feat] > 0 else 1
+                n_fused += 1
+
+        # reverse direction: neighbors' points into the current KF
+        nb_pts: List[int] = []
+        seen = set(int(i) for i in cur_pts)
+        for t in targets:
+            ids = lm.resolve(ks.obs_lm[t])
+            for i in ids[ids >= 0]:
+                i = int(i)
+                if i not in seen and lm.alive[i]:
+                    seen.add(i)
+                    nb_pts.append(i)
+        if nb_pts:
+            cap2 = bucket(len(nb_pts))
+            p_ids2 = np.full(cap2, -1, np.int32)
+            p_ids2[: len(nb_pts)] = np.asarray(nb_pts, np.int32)[:cap2]
+            safe2 = np.maximum(p_ids2, 0)
+            match = np.asarray(fuse_match_step(
+                jnp.asarray(lm.pos[safe2]), jnp.asarray(lm.desc[safe2]),
+                jnp.asarray(lm.normal[safe2]), jnp.asarray(lm.dmin[safe2]),
+                jnp.asarray(lm.dmax[safe2]), jnp.asarray(p_ids2 >= 0),
+                jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
+                jnp.asarray(ks.kp_angle[kf]), jnp.asarray(ks.kp_desc[kf]),
+                jnp.asarray(ks.kp_valid[kf]), jnp.asarray(ks.u_right[kf]),
+                jnp.asarray(ks.Tcw[kf]), self.cfg,
+            ))
+            for slot in np.nonzero(match >= 0)[0]:
+                p = int(p_ids2[slot])
+                feat = int(match[slot])
+                if p < 0 or not lm.alive[p]:
+                    continue
+                q = int(ks.obs_lm[kf, feat])
+                if q == p:
+                    continue
+                if q >= 0 and lm.alive[q]:
+                    if lm.n_obs[p] >= lm.n_obs[q]:
+                        m.replace_landmark(q, p)
+                    else:
+                        m.replace_landmark(p, q)
+                else:
+                    ks.obs_lm[kf, feat] = p
+                    m.lm_obs[p][kf] = feat
+                    lm.n_obs[p] += 2 if ks.u_right[kf, feat] > 0 else 1
+                n_fused += 1
+
+        if n_fused:
+            m.update_connections(kf)
+            m.update_landmark_geometry(cur_pts)
+        return n_fused
+
+    # ---------------- keyframe culling ----------------
+
+    def cull_keyframes(self, kf: int, on_removed=None) -> int:
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+        n_culled = 0
+        for cand in m.covisible_neighbors(kf):
+            if cand == 0 or not ks.alive[cand]:
+                continue
+            obs = ks.obs_lm[cand]
+            feats = np.nonzero(obs >= 0)[0]
+            if len(feats) < 30:
+                continue
+            n_redundant = 0
+            n_pts = 0
+            for f in feats:
+                p = int(obs[f])
+                if not lm.alive[p]:
+                    continue
+                n_pts += 1
+                level = ks.kp_octave[cand, f]
+                better = 0
+                for k2, f2 in m.lm_obs[p].items():
+                    if k2 == cand:
+                        continue
+                    if ks.kp_octave[k2, f2] <= level + 1:
+                        better += 1
+                        if better >= 3:
+                            break
+                if better >= 3:
+                    n_redundant += 1
+            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+                self._remove_keyframe(cand)
+                if on_removed is not None:
+                    on_removed(cand)
+                n_culled += 1
+        return n_culled
+
+    def _remove_keyframe(self, kf: int):
+        """KeyFrame.set_bad_flag with the intended semantics (the
+        reference's version calls missing methods, SURVEY.md §6):
+        erase observations, reconnect covisibility, reparent children."""
+        m = self.map
+        ks = m.keyframes
+        obs = ks.obs_lm[kf]
+        for f in np.nonzero(obs >= 0)[0]:
+            m.erase_observation(int(obs[f]), kf)
+        for other in list(m.covis.get(kf, {})):
+            m.covis[other].pop(kf, None)
+        m.covis.pop(kf, None)
+        parent = m.parent.get(kf)
+        for child in list(m.children.get(kf, ())):
+            new_parent = parent if parent is not None else 0
+            m.parent[child] = new_parent
+            m.children[new_parent].add(child)
+        m.children.pop(kf, None)
+        if parent is not None:
+            m.children[parent].discard(kf)
+            m.parent.pop(kf, None)
+        ks.alive[kf] = False

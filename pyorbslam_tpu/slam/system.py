@@ -34,6 +34,15 @@ from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import local_track_step, motion_track_step
 
 
+def _cap_bucket(n: int, max_cap: int) -> int:
+    """Pick a padded capacity bucket so device programs stay few-shaped
+    while small local maps don't pay full-capacity compute."""
+    for b in (2048, 4096, 8192):
+        if n <= b and b <= max_cap:
+            return b
+    return max_cap
+
+
 @dataclasses.dataclass
 class System:
     cfg: SlamConfig
@@ -56,6 +65,7 @@ class System:
             KeyFrameDatabase(self.vocabulary) if self.vocabulary else None
         )
         self.loop_closer = None
+        self.local_mapper = None
         self.last_reloc_frame = -10**9
         self.state = "NOT_INITIALIZED"
         self.Tcw = np.eye(4, dtype=np.float32)
@@ -171,7 +181,7 @@ class System:
 
         # local map from covisibility (update_local_keyframes/points)
         local_ids = self._local_point_ids(assign)
-        cap = self.cfg.tracking.max_local_points
+        cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
         p_ids = np.full(cap, -1, np.int32)
         p_ids[: len(local_ids)] = local_ids
         p_safe = np.maximum(p_ids, 0)
@@ -246,7 +256,10 @@ class System:
         if need_kf:
             assign = self._create_landmarks(frame, self.Tcw, limit=100,
                                             existing=assign)
-            self._insert_keyframe(frame, assign, timestamp, run_ba=True)
+            kf_id = self._insert_keyframe(frame, assign, timestamp, run_ba=True)
+            # local mapping may have added triangulated/fused bindings to
+            # this keyframe; carry them into the tracker state
+            assign = self.map.keyframes.obs_lm[kf_id].copy()
 
         self.last_frame = frame
         self.last_assign = assign
@@ -280,6 +293,10 @@ class System:
             self.loop_closer = LoopCloser(
                 self.cfg, self.map, self.vocabulary, self.kfdb
             )
+        if self.local_mapper is None:
+            from pyorbslam_tpu.slam.local_mapping import LocalMapper
+
+            self.local_mapper = LocalMapper(self.cfg, self.map)
         new_ids = assign[(assign >= 0) & (self.lm_created_kf[np.maximum(assign, 0)] < 0)]
         self.lm_created_kf[new_ids] = kf
         self.recent_lms.append(np.unique(assign[assign >= 0]))
@@ -291,11 +308,22 @@ class System:
                 self.recent_lms[-3], kf, self.lm_created_kf
             )
 
+        if run_ba and self.local_mapper is not None:
+            # LocalMapping order (LocalMapping.run): triangulate new points
+            # over covisible neighbors, fuse duplicates, then local BA,
+            # then keyframe culling
+            self.local_mapper.create_new_points(kf)
+            self.local_mapper.fuse_neighbors(kf)
+
         if run_ba and kf % self.ba_every_n_kf == 0:
             info = self.map.local_ba(kf)
             if info.get("ran"):
                 # adopt the BA-refined pose for the current camera
                 self.Tcw = self.map.keyframes.Tcw[kf].copy()
+
+        if run_ba and self.local_mapper is not None and kf % 4 == 0:
+            self.local_mapper.cull_keyframes(
+                kf, on_removed=lambda k: self.kfdb.erase(k))
 
         if self.loop_closer is not None and run_ba:
             closed = self.loop_closer.on_keyframe(kf, bow)
@@ -305,6 +333,7 @@ class System:
                 # model (the old velocity lives in the pre-correction frame)
                 self.Tcw = self.map.keyframes.Tcw[kf].copy()
                 self.velocity = np.eye(4, dtype=np.float32)
+        return kf
 
     # ---------------- relocalization ----------------
 
@@ -399,7 +428,7 @@ class System:
             kf_pts = lm.resolve(kf_lm)
             kf_pts = np.unique(kf_pts[kf_pts >= 0])
             kf_pts = kf_pts[lm.alive[kf_pts]]
-            cap = self.cfg.tracking.max_local_points
+            cap = _cap_bucket(len(kf_pts), self.cfg.tracking.max_local_points)
             p_ids = np.full(cap, -1, np.int32)
             p_ids[: len(kf_pts)] = kf_pts[:cap]
             p_safe = np.maximum(p_ids, 0)

@@ -1,0 +1,98 @@
+"""Map checkpoint save/load (elastic restart support).
+
+The reference has no map persistence — only final trajectory export
+(System.py:114-147; SURVEY.md §5 flags checkpoint/resume as absent).
+Because the map here is flat arrays + small index dicts, a checkpoint is
+one compressed npz.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.slam.slam_map import SlamMap
+
+
+def save_map(m: SlamMap, path: str) -> None:
+    lm = m.landmarks
+    ks = m.keyframes
+    nl, nk = lm.n, ks.n
+    obs_triples = np.array(
+        [(p, kf, feat) for p, obs in m.lm_obs.items() for kf, feat in obs.items()],
+        np.int64,
+    ).reshape(-1, 3)
+    covis_triples = np.array(
+        [(a, b, w) for a, nbrs in m.covis.items() for b, w in nbrs.items()],
+        np.int64,
+    ).reshape(-1, 3)
+    parent_pairs = np.array(list(m.parent.items()), np.int64).reshape(-1, 2)
+    loop_pairs = np.array(
+        [(a, b) for a, bs in m.loop_edges.items() for b in bs], np.int64
+    ).reshape(-1, 2)
+    np.savez_compressed(
+        path,
+        n_landmarks=nl, n_keyframes=nk,
+        lm_pos=lm.pos[:nl], lm_desc=lm.desc[:nl], lm_normal=lm.normal[:nl],
+        lm_dmin=lm.dmin[:nl], lm_dmax=lm.dmax[:nl], lm_n_obs=lm.n_obs[:nl],
+        lm_visible=lm.visible[:nl], lm_found=lm.found[:nl],
+        lm_alive=lm.alive[:nl], lm_replaced=lm.replaced_by[:nl],
+        kf_Tcw=ks.Tcw[:nk], kf_frame_id=ks.frame_id[:nk],
+        kf_timestamp=ks.timestamp[:nk], kf_alive=ks.alive[:nk],
+        kf_xy=ks.kp_xy[:nk], kf_octave=ks.kp_octave[:nk],
+        kf_angle=ks.kp_angle[:nk], kf_desc=ks.kp_desc[:nk],
+        kf_node=ks.kp_node[:nk], kf_valid=ks.kp_valid[:nk],
+        kf_u_right=ks.u_right[:nk], kf_depth=ks.depth[:nk],
+        kf_obs_lm=ks.obs_lm[:nk],
+        obs=obs_triples, covis=covis_triples, parent=parent_pairs,
+        loops=loop_pairs,
+        capacities=np.array([lm.capacity, ks.capacity, ks.n_features]),
+    )
+
+
+def load_map(cfg: SlamConfig, path: str) -> SlamMap:
+    d = np.load(path)
+    cap_lm, cap_kf, n_feat = (int(x) for x in d["capacities"])
+    m = SlamMap(cfg, landmark_capacity=cap_lm, keyframe_capacity=cap_kf)
+    nl = int(d["n_landmarks"])
+    nk = int(d["n_keyframes"])
+    lm = m.landmarks
+    lm.n = nl
+    lm.pos[:nl] = d["lm_pos"]
+    lm.desc[:nl] = d["lm_desc"]
+    lm.normal[:nl] = d["lm_normal"]
+    lm.dmin[:nl] = d["lm_dmin"]
+    lm.dmax[:nl] = d["lm_dmax"]
+    lm.n_obs[:nl] = d["lm_n_obs"]
+    lm.visible[:nl] = d["lm_visible"]
+    lm.found[:nl] = d["lm_found"]
+    lm.alive[:nl] = d["lm_alive"]
+    lm.replaced_by[:nl] = d["lm_replaced"]
+    ks = m.keyframes
+    ks.n = nk
+    ks.Tcw[:nk] = d["kf_Tcw"]
+    ks.frame_id[:nk] = d["kf_frame_id"]
+    ks.timestamp[:nk] = d["kf_timestamp"]
+    ks.alive[:nk] = d["kf_alive"]
+    ks.kp_xy[:nk] = d["kf_xy"]
+    ks.kp_octave[:nk] = d["kf_octave"]
+    ks.kp_angle[:nk] = d["kf_angle"]
+    ks.kp_desc[:nk] = d["kf_desc"]
+    ks.kp_node[:nk] = d["kf_node"]
+    ks.kp_valid[:nk] = d["kf_valid"]
+    ks.u_right[:nk] = d["kf_u_right"]
+    ks.depth[:nk] = d["kf_depth"]
+    ks.obs_lm[:nk] = d["kf_obs_lm"]
+    for p, kf, feat in d["obs"]:
+        m.lm_obs[int(p)][int(kf)] = int(feat)
+    for a, b, w in d["covis"]:
+        m.covis[int(a)][int(b)] = int(w)
+    for a, b in d["parent"]:
+        m.parent[int(a)] = int(b)
+        m.children[int(b)].add(int(a))
+    for a, b in d["loops"]:
+        m.loop_edges[int(a)].add(int(b))
+    return m

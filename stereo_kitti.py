@@ -1,0 +1,67 @@
+"""KITTI stereo CLI — reference parity (stereo_kitti.py:12-59).
+
+Usage:
+    python stereo_kitti.py --pathToSequence <seq_dir> \
+        --pathToVocabulary <ORBvoc.txt or "auto"> \
+        --pathToSettings <KITTIxx.yaml> [--output CameraTrajectory.txt]
+
+The sequence dir must contain image_2/, image_3/, times.txt (KITTI
+odometry layout).  Vocabulary "auto" (or a missing file) trains a scene
+vocabulary from the first frame instead of loading ORBvoc.txt.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pathToSequence", required=True)
+    ap.add_argument("--pathToVocabulary", default="auto")
+    ap.add_argument("--pathToSettings", required=True)
+    ap.add_argument("--output", default="CameraTrajectory.txt")
+    ap.add_argument("--maxFrames", type=int, default=0)
+    args = ap.parse_args()
+
+    from pyorbslam_tpu.config import SlamConfig
+    from pyorbslam_tpu.io.kitti import iter_stereo, load_image_paths
+    from pyorbslam_tpu.slam.system import System
+
+    cfg = SlamConfig.from_yaml(args.pathToSettings)
+
+    vocabulary = None
+    if args.pathToVocabulary != "auto" and os.path.exists(args.pathToVocabulary):
+        from pyorbslam_tpu.place.vocabulary import Vocabulary
+
+        print(f"loading vocabulary {args.pathToVocabulary} ...")
+        vocabulary = Vocabulary.load_text(args.pathToVocabulary)
+
+    system = System(cfg, vocabulary=vocabulary)
+
+    left_paths, _, times = load_image_paths(args.pathToSequence)
+    n = len(left_paths)
+    if args.maxFrames:
+        n = min(n, args.maxFrames)
+    print(f"tracking {n} frames from {args.pathToSequence}")
+
+    t_start = time.time()
+    for i, (left, right, ts) in enumerate(iter_stereo(args.pathToSequence)):
+        if i >= n:
+            break
+        system.track_stereo(left, right, ts)
+        if (i + 1) % 50 == 0:
+            st = system.stats[-1] if system.stats else {}
+            print(f"frame {i + 1}/{n}  state={system.state} "
+                  f"inliers={st.get('inliers', '-')} kfs={system.map.keyframes.n}")
+    dt = time.time() - t_start
+
+    system.save_trajectory_kitti(args.output)
+    system.shutdown()
+    print(f"done: {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps); "
+          f"trajectory -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,3 +39,29 @@ def synth_seq(data_cache_dir):
         n_frames=60, width=512, height=160, trajectory="straight",
         speed=0.8, seed=3, cache_dir=data_cache_dir,
     )
+
+
+@pytest.fixture(scope="session")
+def full_loop_run(data_cache_dir):
+    """One full-circle System run shared by the turning and loop-closure
+    integration tests (the most expensive fixture in the suite)."""
+    from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from pyorbslam_tpu.io.synthetic import generate_sequence
+    from pyorbslam_tpu.slam.system import System
+
+    seq = generate_sequence(
+        n_frames=80, width=512, height=160, trajectory="loop",
+        seed=11, cache_dir=data_cache_dir,
+    )
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=float(seq.K[0, 0]), fy=float(seq.K[1, 1]),
+            cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
+            width=512, height=160, bf=seq.bf, th_depth=40.0,
+        ),
+        orb=OrbConfig(n_features=1000),
+    )
+    sysm = System(cfg)
+    for i in range(80):
+        sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+    return sysm, seq

@@ -10,24 +10,7 @@ from pyorbslam_tpu.slam.system import System
 from pyorbslam_tpu.utils.metrics import ate_rmse
 
 
-@pytest.fixture(scope="module")
-def full_loop_run(data_cache_dir):
-    seq = generate_sequence(
-        n_frames=80, width=512, height=160, trajectory="loop",
-        seed=11, cache_dir=data_cache_dir,
-    )
-    cfg = SlamConfig(
-        camera=CameraConfig(
-            fx=float(seq.K[0, 0]), fy=float(seq.K[1, 1]),
-            cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
-            width=512, height=160, bf=seq.bf, th_depth=40.0,
-        ),
-        orb=OrbConfig(n_features=1000),
-    )
-    sysm = System(cfg)
-    for i in range(80):
-        sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
-    return sysm, seq
+# full_loop_run fixture is shared session-wide (tests/conftest.py)
 
 
 class TestLoopClosing:

@@ -22,16 +22,10 @@ def make_cfg(seq):
 
 
 @pytest.fixture(scope="module")
-def loop_run(data_cache_dir):
-    seq = generate_sequence(
-        n_frames=80, width=512, height=160, trajectory="loop",
-        seed=11, cache_dir=data_cache_dir,
-    )
-    sysm = System(make_cfg(seq))
-    n = 40  # half the circle: sustained 4.5 deg/frame turn
-    for i in range(n):
-        sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
-    est_wc = np.linalg.inv(np.stack(sysm.trajectory))
+def loop_run(full_loop_run):
+    sysm, seq = full_loop_run
+    n = len(sysm.trajectory)
+    est_wc = np.linalg.inv(sysm.corrected_trajectory())
     return sysm, est_wc, seq, n
 
 
@@ -41,7 +35,7 @@ class TestSystem:
         ate = ate_rmse(est_wc, seq.poses_wc[:n])
         track_len = np.linalg.norm(
             np.diff(seq.poses_wc[:n, :3, 3], axis=0), axis=1).sum()
-        assert ate < 2.0, f"ATE {ate:.3f} m over {track_len:.1f} m turning"
+        assert ate < 1.0, f"ATE {ate:.3f} m over {track_len:.1f} m turning"
 
     def test_no_lost_frames_while_turning(self, loop_run):
         sysm, _, _, _ = loop_run
