@@ -30,6 +30,11 @@ def main():
     from pyorbslam_tpu.slam.frame import build_stereo_frame_jit
     from pyorbslam_tpu.slam.tracking import motion_track_step
 
+    # BENCH_CONFIG=highdensity runs the 4x-features stress config
+    # (BASELINE.json config 4); default is the reference operating point.
+    high_density = os.environ.get("BENCH_CONFIG") == "highdensity"
+    n_features = 8000 if high_density else 2000
+
     n_frames = 30
     width, height = 1241, 376
     cache = os.path.join(os.path.dirname(__file__), "tests", "_data")
@@ -43,7 +48,7 @@ def main():
             cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
             width=width, height=height, bf=seq.bf, th_depth=40.0,
         ),
-        orb=OrbConfig(n_features=2000),
+        orb=OrbConfig(n_features=n_features),
     )
 
     import functools
@@ -114,7 +119,7 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 2),
         "baseline_fps": baseline_fps,
         "baseline_source": baseline_src,
-        "config": "1241x376 stereo, 2000 ORB features, 8 levels, motion tracking",
+        "config": f"1241x376 stereo, {n_features} ORB features, 8 levels, motion tracking",
         "n_frames": n_tracked,
         "device": str(jax.devices()[0]),
     }))

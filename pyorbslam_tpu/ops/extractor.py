@@ -59,9 +59,26 @@ def extract_features(img: jnp.ndarray, orb: OrbConfig,
     budgets = orb.features_per_level
     scale_factors = orb.scale_factors
 
+    # Optional Pallas FAST kernel (PYORBSLAM_PALLAS_FAST=1). Measured on
+    # v5e it is within noise of the jnp path — XLA's fusion already keeps
+    # the 16-diff arithmetic on-chip — so the default stays with the
+    # simpler formulation; the kernel is the scaffold for fusing
+    # mask/NMS/top-k into one VMEM pass later.
+    import os
+
+    use_pallas = (
+        os.environ.get("PYORBSLAM_PALLAS_FAST") == "1"
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_pallas:
+        from pyorbslam_tpu.ops.pallas_kernels import fast_score_map_pallas
+
     all_xy, all_resp, all_ang, all_oct, all_desc, all_valid = [], [], [], [], [], []
     for l, level_img in enumerate(levels):
-        score = fast_ops.fast_score_map(level_img)
+        score = (
+            fast_score_map_pallas(level_img) if use_pallas
+            else fast_ops.fast_score_map(level_img)
+        )
         score = fast_ops.border_mask(score, DETECT_BORDER)
         score = fast_ops.cell_fallback_mask(
             score, float(orb.ini_th_fast), float(orb.min_th_fast), orb.cell_size
