@@ -27,7 +27,6 @@ def main():
 
     from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
     from pyorbslam_tpu.io.synthetic import generate_sequence
-    from pyorbslam_tpu.slam.frame import build_stereo_frame_jit
     from pyorbslam_tpu.slam.tracking import motion_track_step
 
     # BENCH_CONFIG=highdensity runs the 4x-features stress config
@@ -35,7 +34,7 @@ def main():
     high_density = os.environ.get("BENCH_CONFIG") == "highdensity"
     n_features = 8000 if high_density else 2000
 
-    n_frames = 30
+    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     width, height = 1241, 376
     cache = os.path.join(os.path.dirname(__file__), "tests", "_data")
     seq = generate_sequence(
@@ -77,9 +76,23 @@ def main():
         )
         return frame, res.Tcw, res.n_inliers
 
-    # warmup / compile
-    prev = build_stereo_frame_jit(*frames[0], cfg)
-    frame, Tcw, n_in = fused_step(*frames[1], prev, eye, eye, cfg)
+    # warmup / compile: ONE compiled program total — the first frame's
+    # "previous frame" is a zero dummy (its garbage tracking result is
+    # discarded), avoiding a second jit just for bootstrap
+    from pyorbslam_tpu.slam.frame import StereoFrame
+
+    n_kp = cfg.orb.max_keypoints
+    dummy = StereoFrame(
+        xy=jnp.zeros((n_kp, 2)), response=jnp.zeros(n_kp),
+        angle=jnp.zeros(n_kp), octave=jnp.zeros(n_kp, jnp.int32),
+        desc=jnp.zeros((n_kp, 8), jnp.uint32),
+        desc_bits=jnp.zeros((n_kp, 256), jnp.int8),
+        valid=jnp.zeros(n_kp, bool),
+        u_right=jnp.full(n_kp, -1.0), depth=jnp.full(n_kp, -1.0),
+    )
+    frame, _, n_in = fused_step(*frames[0], dummy, eye, eye, cfg)
+    _ = int(np.asarray(n_in))
+    frame, Tcw, n_in = fused_step(*frames[1], frame, eye, eye, cfg)
     _ = int(np.asarray(n_in))
 
     # ---- timed loop ----
