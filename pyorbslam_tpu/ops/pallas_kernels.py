@@ -109,3 +109,127 @@ def fast_score_map_pallas(img: jnp.ndarray, interpret: bool = False) -> jnp.ndar
         interpret=interpret,
     )(padded)
     return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF descriptor kernel
+# ---------------------------------------------------------------------------
+#
+# The jnp descriptor path is one big XLA gather: 512 rotated samples x N
+# keypoints from the blurred level image (~1M gathered elements per image,
+# the dominant frontend cost after the moment-map change).  TPUs hate
+# scattered gathers but love matmuls, so the kernel reformulates sampling
+# as selection algebra:
+#
+#   per keypoint: DMA a 48x64 window around the keypoint into VMEM, then
+#     vals = rowsum( (RowOneHot @ W) * ColOneHot )
+#   where RowOneHot[j] selects row ry[j] (48-wide) and ColOneHot[j]
+#   selects column rx[j] (64-wide) of the rotated pattern point j.
+#   RowOneHot @ W is an MXU matmul; everything else is VPU compares.
+#
+# Keypoints are processed K at a time per grid program with the window
+# DMAs issued back-to-back (keypoint coords arrive via scalar prefetch).
+
+_BRIEF_K = 8          # keypoints per grid program
+_WIN_R = 48           # window rows (22-px rotated reach + rounding + align)
+_WIN_C = 64           # window cols
+_WIN_OFF = 22         # window top-left is (y - 3, x - 3) in padded coords:
+                      # BORDER(19) - 22 = -3
+
+
+def _brief_kernel(xy_ref, ang_ref, pat0_ref, pat1_ref, img_hbm, out_ref,
+                  win, sems):
+    i = pl.program_id(0)
+
+    # issue all K window DMAs up front
+    for k in range(_BRIEF_K):
+        idx = i * _BRIEF_K + k
+        y = xy_ref[idx, 1]
+        x = xy_ref[idx, 0]
+        dma = pltpu.make_async_copy(
+            img_hbm.at[pl.ds(y + 19 - _WIN_OFF, _WIN_R),
+                       pl.ds(x + 19 - _WIN_OFF, _WIN_C)],
+            win.at[k],
+            sems.at[k],
+        )
+        dma.start()
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (256, _WIN_R), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (256, _WIN_C), 1)
+
+    def sample(pat_ref, a, b, wk):
+        px = pat_ref[:, 0:1]            # (256, 1)
+        py = pat_ref[:, 1:2]
+        # reference GET_VALUE rounding (computeOrbDescriptor:108-147)
+        ry = jnp.round(px * b + py * a).astype(jnp.int32) + _WIN_OFF
+        rx = jnp.round(px * a - py * b).astype(jnp.int32) + _WIN_OFF
+        row_sel = (row_iota == ry).astype(jnp.float32)     # (256, 48)
+        col_sel = (col_iota == rx).astype(jnp.float32)     # (256, 64)
+        m = jnp.dot(row_sel, wk, preferred_element_type=jnp.float32)
+        return jnp.sum(m * col_sel, axis=1, keepdims=True)  # (256, 1)
+
+    for k in range(_BRIEF_K):
+        idx = i * _BRIEF_K + k
+        ang = ang_ref[idx] * jnp.float32(np.pi / 180.0)
+        a = jnp.cos(ang)
+        b = jnp.sin(ang)
+
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(0, _WIN_R), pl.ds(0, _WIN_C)], win.at[k],
+            sems.at[k],
+        ).wait()
+
+        t0 = sample(pat0_ref, a, b, win[k])
+        t1 = sample(pat1_ref, a, b, win[k])
+        out_ref[k, :] = (t0 < t1).astype(jnp.float32)[:, 0]  # (256,) bits
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def brief_descriptors_pallas(
+    padded_blurred: jnp.ndarray,   # (H + 38, W + 38) float32 (BORDER = 19)
+    xy: jnp.ndarray,               # (N, 2) int32 level coords
+    angle_deg: jnp.ndarray,        # (N,) float32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for orb_descriptor.brief_descriptors."""
+    from pyorbslam_tpu.ops.orb_descriptor import brief_pattern
+
+    n = xy.shape[0]
+    n_pad = -(-n // _BRIEF_K) * _BRIEF_K
+    xy_p = jnp.pad(xy, ((0, n_pad - n), (0, 0)))
+    ang_p = jnp.pad(angle_deg, (0, n_pad - n))
+
+    # slack so every keypoint window stays in range
+    img = jnp.pad(padded_blurred, ((0, 64), (0, 64)))
+
+    pattern = np.asarray(brief_pattern(), np.float32)   # (512, 2)
+    pat0 = jnp.asarray(pattern[0::2])                   # first of each pair
+    pat1 = jnp.asarray(pattern[1::2])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // _BRIEF_K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # pat0
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # pat1
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # image
+        ],
+        out_specs=pl.BlockSpec(
+            (_BRIEF_K, 256), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_BRIEF_K, _WIN_R, _WIN_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((_BRIEF_K,)),
+        ],
+    )
+    bits = pl.pallas_call(
+        _brief_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 256), jnp.float32),
+        interpret=interpret,
+    )(xy_p.astype(jnp.int32), ang_p, pat0, pat1, img)
+
+    # pack bits -> uint32 words outside the kernel (trivially fused by XLA)
+    words = bits[:n].astype(jnp.uint32).reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
