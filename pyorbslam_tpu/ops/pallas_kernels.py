@@ -131,57 +131,71 @@ def fast_score_map_pallas(img: jnp.ndarray, interpret: bool = False) -> jnp.ndar
 # DMAs issued back-to-back (keypoint coords arrive via scalar prefetch).
 
 _BRIEF_K = 8          # keypoints per grid program
-_WIN_R = 48           # window rows (22-px rotated reach + rounding + align)
-_WIN_C = 64           # window cols
-_WIN_OFF = 22         # window top-left is (y - 3, x - 3) in padded coords:
-                      # BORDER(19) - 22 = -3
+# DMA source offsets must be tile-aligned (8 sublanes / 128 lanes), so the
+# window origin is rounded down and the residual offset is added to the
+# per-keypoint sample indices instead.
+_WIN_R = 56           # 45-px rotated reach + up to 7 rows of alignment slack
+_WIN_C = 256          # 45-px reach + alignment slack, 128-multiple width
+_WIN_OFF = 22         # nominal top-left is (y - 3, x - 3): BORDER(19) - 22
 
 
-def _brief_kernel(xy_ref, ang_ref, pat0_ref, pat1_ref, img_hbm, out_ref,
+def _brief_kernel(xy_ref, cos_ref, sin_ref, patx_ref, paty_ref, img_hbm, out_ref,
                   win, sems):
-    i = pl.program_id(0)
-
-    # issue all K window DMAs up front
+    """patx/paty: (512, 128) with the pattern coordinate replicated along
+    lanes — (512, 1) column vectors scalarize into SMEM, so per-pattern
+    arithmetic stays lane-aligned.  The compute loop is a fori_loop (the
+    fully unrolled form overflowed the 1 MB SMEM scalar budget)."""
+    # xy/cos/sin arrive as per-program SMEM blocks (whole-array scalar
+    # prefetch overflowed the ~1 MB SMEM budget)
     for k in range(_BRIEF_K):
-        idx = i * _BRIEF_K + k
-        y = xy_ref[idx, 1]
-        x = xy_ref[idx, 0]
+        y0 = xy_ref[k, 1] + 19 - _WIN_OFF
+        x0 = xy_ref[k, 0] + 19 - _WIN_OFF
+        y_al = pl.multiple_of((y0 // 8) * 8, 8)
+        x_al = pl.multiple_of((x0 // 128) * 128, 128)
         dma = pltpu.make_async_copy(
-            img_hbm.at[pl.ds(y + 19 - _WIN_OFF, _WIN_R),
-                       pl.ds(x + 19 - _WIN_OFF, _WIN_C)],
-            win.at[k],
+            img_hbm.at[pl.ds(y_al, _WIN_R), pl.ds(x_al, _WIN_C)],
+            win.at[pl.ds(k * _WIN_R, _WIN_R), :],
             sems.at[k],
         )
         dma.start()
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (256, _WIN_R), 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (256, _WIN_C), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _WIN_R), 1)
+    col_lo = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 1)
+    col_hi = col_lo + 128
 
-    def sample(pat_ref, a, b, wk):
-        px = pat_ref[:, 0:1]            # (256, 1)
-        py = pat_ref[:, 1:2]
+    px = patx_ref[:, :]                     # (512, 128) replicated
+    py = paty_ref[:, :]
+
+    def body(k, carry):
+        a = cos_ref[k, 0]
+        b = sin_ref[k, 0]
+        y0 = xy_ref[k, 1] + 19 - _WIN_OFF
+        x0 = xy_ref[k, 0] + 19 - _WIN_OFF
+        ry_off = y0 - (y0 // 8) * 8
+        rx_off = x0 - (x0 // 128) * 128
+
         # reference GET_VALUE rounding (computeOrbDescriptor:108-147)
-        ry = jnp.round(px * b + py * a).astype(jnp.int32) + _WIN_OFF
-        rx = jnp.round(px * a - py * b).astype(jnp.int32) + _WIN_OFF
-        row_sel = (row_iota == ry).astype(jnp.float32)     # (256, 48)
-        col_sel = (col_iota == rx).astype(jnp.float32)     # (256, 64)
-        m = jnp.dot(row_sel, wk, preferred_element_type=jnp.float32)
-        return jnp.sum(m * col_sel, axis=1, keepdims=True)  # (256, 1)
+        ry = jnp.round(px * b + py * a).astype(jnp.int32) + (_WIN_OFF + ry_off)
+        rx = jnp.round(px * a - py * b).astype(jnp.int32) + (_WIN_OFF + rx_off)
 
-    for k in range(_BRIEF_K):
-        idx = i * _BRIEF_K + k
-        ang = ang_ref[idx] * jnp.float32(np.pi / 180.0)
-        a = jnp.cos(ang)
-        b = jnp.sin(ang)
+        row_sel = (row_iota == ry[:, :_WIN_R]).astype(jnp.float32)
+        sel_lo = (col_lo == rx).astype(jnp.float32)
+        sel_hi = (col_hi == rx).astype(jnp.float32)
 
         pltpu.make_async_copy(
-            img_hbm.at[pl.ds(0, _WIN_R), pl.ds(0, _WIN_C)], win.at[k],
+            img_hbm.at[pl.ds(0, _WIN_R), pl.ds(0, _WIN_C)],
+            win.at[pl.ds(0, _WIN_R), :],
             sems.at[k],
         ).wait()
 
-        t0 = sample(pat0_ref, a, b, win[k])
-        t1 = sample(pat1_ref, a, b, win[k])
-        out_ref[k, :] = (t0 < t1).astype(jnp.float32)[:, 0]  # (256,) bits
+        wk = win[pl.ds(pl.multiple_of(k * _WIN_R, 8), _WIN_R), :]
+        m = jnp.dot(row_sel, wk, preferred_element_type=jnp.float32)
+        vals = jnp.sum(m[:, :128] * sel_lo + m[:, 128:] * sel_hi,
+                       axis=1, keepdims=True)            # (512, 1)
+        out_ref[pl.ds(k, 1), :] = vals.reshape(1, 512)
+        return carry
+
+    jax.lax.fori_loop(0, _BRIEF_K, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -197,39 +211,45 @@ def brief_descriptors_pallas(
     n = xy.shape[0]
     n_pad = -(-n // _BRIEF_K) * _BRIEF_K
     xy_p = jnp.pad(xy, ((0, n_pad - n), (0, 0)))
-    ang_p = jnp.pad(angle_deg, (0, n_pad - n))
+    rad = jnp.pad(angle_deg, (0, n_pad - n)) * jnp.float32(np.pi / 180.0)
+    cos_p = jnp.cos(rad)[:, None]   # 2-D: rank-1 SMEM blocks need 128-multiples
+    sin_p = jnp.sin(rad)[:, None]
 
-    # slack so every keypoint window stays in range
-    img = jnp.pad(padded_blurred, ((0, 64), (0, 64)))
+    # slack so every aligned keypoint window stays in range
+    img = jnp.pad(padded_blurred, ((0, 64), (0, 256)))
 
     pattern = np.asarray(brief_pattern(), np.float32)   # (512, 2)
-    pat0 = jnp.asarray(pattern[0::2])                   # first of each pair
-    pat1 = jnp.asarray(pattern[1::2])
+    # interleave so pairs sit at rows (2j, 2j+1); replicate along lanes
+    patx = jnp.asarray(np.repeat(pattern[:, 0:1], 128, axis=1))
+    paty = jnp.asarray(np.repeat(pattern[:, 1:2], 128, axis=1))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    vals = pl.pallas_call(
+        _brief_kernel,
         grid=(n_pad // _BRIEF_K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # pat0
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # pat1
+            pl.BlockSpec((_BRIEF_K, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),              # xy
+            pl.BlockSpec((_BRIEF_K, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),              # cos
+            pl.BlockSpec((_BRIEF_K, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),              # sin
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # patx
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # paty
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # image
         ],
         out_specs=pl.BlockSpec(
-            (_BRIEF_K, 256), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (_BRIEF_K, 512), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_BRIEF_K, _WIN_R, _WIN_C), jnp.float32),
+            pltpu.VMEM((_BRIEF_K * _WIN_R, _WIN_C), jnp.float32),
             pltpu.SemaphoreType.DMA((_BRIEF_K,)),
         ],
-    )
-    bits = pl.pallas_call(
-        _brief_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 256), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 512), jnp.float32),
         interpret=interpret,
-    )(xy_p.astype(jnp.int32), ang_p, pat0, pat1, img)
+    )(xy_p.astype(jnp.int32), cos_p, sin_p, patx, paty, img)
 
-    # pack bits -> uint32 words outside the kernel (trivially fused by XLA)
-    words = bits[:n].astype(jnp.uint32).reshape(n, 8, 32)
+    # pair-compare + pack -> uint32 words outside the kernel (fused by XLA)
+    bits = vals[:n, 0::2] < vals[:n, 1::2]
+    words = bits.astype(jnp.uint32).reshape(n, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
