@@ -220,10 +220,14 @@ class SlamMap:
                    if obs and self.landmarks.alive[p]]
         if len(C_live) < 2 or len(pnt_ids) < 50:
             return dict(ran=False)
+        # beyond the dense engine's sweet spot the implicit-Schur CG
+        # engine takes over (no dense camera-point coupling; scales to
+        # the full KITTI-00 map)
+        engine = "cg" if len(C_live) > 96 else "dense"
         return self._run_ba(
             cams=C_live, n_free=len(C_live), pnt_ids=pnt_ids,
             iters1=self.cfg.ba.gba_iters, iters2=self.cfg.ba.gba_iters,
-            erase_outliers=False,
+            erase_outliers=False, engine=engine,
         )
 
     # ------------- local bundle adjustment -------------
@@ -267,11 +271,21 @@ class SlamMap:
         )
 
     def _run_ba(self, cams: List[int], n_free: int, pnt_ids: List[int],
-                iters1: int, iters2: int, erase_outliers: bool) -> dict:
-        """Assemble bucketed fixed-shape arrays, dispatch the Schur BA,
+                iters1: int, iters2: int, erase_outliers: bool,
+                engine: str = "dense") -> dict:
+        """Assemble bucketed fixed-shape arrays, dispatch the Schur BA
+        (dense reduced system, or implicit-Schur CG for global scale),
         write back, optionally erase outlier observations."""
-        C = _bucket(len(cams), [8, 16, 32, 64, 128, 256])
-        P = _bucket(len(pnt_ids), [1024, 2048, 4096, 8192, 16384, 32768, 65536])
+        if engine == "cg":
+            cam_buckets = [128, 256, 512, 1024, 2048, 4096]
+            pnt_buckets = [16384, 32768, 65536, 131072, 262144]
+            obs_buckets = [65536, 131072, 262144, 524288, 1048576]
+        else:
+            cam_buckets = [8, 16, 32, 64, 128, 256]
+            pnt_buckets = [1024, 2048, 4096, 8192, 16384, 32768, 65536]
+            obs_buckets = [4096, 8192, 16384, 32768, 65536, 131072, 262144]
+        C = _bucket(len(cams), cam_buckets)
+        P = _bucket(len(pnt_ids), pnt_buckets)
         cams = cams[:C]
         n_free = min(n_free, C)
         pnt_ids = pnt_ids[:P]
@@ -301,7 +315,7 @@ class SlamMap:
         if n_obs < 20 or len(pnt_ids) < 10:
             return dict(ran=False)
 
-        O = _bucket(n_obs, [4096, 8192, 16384, 32768, 65536, 131072, 262144])
+        O = _bucket(n_obs, obs_buckets)
         n_obs = min(n_obs, O)
 
         cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
@@ -338,7 +352,12 @@ class SlamMap:
             obs_active=jnp.asarray(oact),
             cam=jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf], jnp.float32),
         )
-        res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
+        if engine == "cg":
+            from pyorbslam_tpu.optim import ba_cg
+
+            res = ba_cg.bundle_adjust_cg(prob, iters1=iters1, iters2=iters2)
+        else:
+            res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
 
         new_Tcw = np.asarray(res.cam_Tcw)
         for i in range(n_free):

@@ -169,15 +169,23 @@ class System:
             )
 
         res = motion_attempt(7.0)
+        assign = None
         if int(res.n_matches) < 20 or int(res.n_inliers) < 20:
-            # wide-radius rescue tier: stands in for the reference's
-            # track_reference_key_frame BoW fallback until BoW tracking
-            # lands (large prediction error, e.g. sharp turns from rest)
-            res = motion_attempt(28.0)
-        n_matches = int(res.n_matches)
-        feat_query = np.asarray(res.feat_query)
-        assign = np.where(feat_query >= 0, lm_ids[np.maximum(feat_query, 0)], -1)
-        Tcw_mid = np.asarray(res.Tcw) if n_matches >= 20 else Tcw_pred
+            # fallbacks, in the reference's order: BoW matching against
+            # the reference keyframe (track_reference_key_frame,
+            # Tracking.py:329-356), then a wide-radius projection rescue
+            # for large prediction errors BoW can't fix (e.g. sharp turns)
+            ref = self._track_reference_keyframe(frame)
+            if ref is not None:
+                Tcw_mid, assign = ref
+                n_matches = int((assign >= 0).sum())
+            else:
+                res = motion_attempt(28.0)
+        if assign is None:
+            n_matches = int(res.n_matches)
+            feat_query = np.asarray(res.feat_query)
+            assign = np.where(feat_query >= 0, lm_ids[np.maximum(feat_query, 0)], -1)
+            Tcw_mid = np.asarray(res.Tcw) if n_matches >= 20 else Tcw_pred
 
         # local map from covisibility (update_local_keyframes/points)
         local_ids = self._local_point_ids(assign)
@@ -334,6 +342,66 @@ class System:
                 self.Tcw = self.map.keyframes.Tcw[kf].copy()
                 self.velocity = np.eye(4, dtype=np.float32)
         return kf
+
+    # ---------------- reference-keyframe tracking ----------------
+
+    def _track_reference_keyframe(self, frame: StereoFrame):
+        """Tracking.track_reference_key_frame (Tracking.py:329-356): BoW-match
+        the current frame against the reference (latest) keyframe with the
+        0.7 ratio test at TH_LOW plus rotation consistency
+        (ORBMatcher.search_by_BoW_kf_f:21-118), seed the pose from the last
+        frame, run motion-only optimization; accepted at >= 10 inliers."""
+        ks = self.map.keyframes
+        kf = ks.n - 1
+        if kf < 0 or self.vocabulary is None:
+            return None
+        lm = self.map.landmarks
+        kf_lm = lm.resolve(ks.obs_lm[kf])
+        q_active = (kf_lm >= 0) & lm.alive[np.maximum(kf_lm, 0)]
+        if q_active.sum() < 15:
+            return None
+        _, _, node = self.vocabulary.transform(frame.desc)
+        kf_desc = jnp.asarray(ks.kp_desc[kf])
+        idx, _, matched = match_ops.match_by_bow(
+            unpack_bits(kf_desc), popcount(kf_desc),
+            jnp.asarray(ks.kp_node[kf]), jnp.asarray(q_active),
+            frame.desc_bits, popcount(frame.desc), jnp.asarray(node),
+            frame.valid,
+        )
+        matched = match_ops.rotation_consistency_mask(
+            jnp.asarray(ks.kp_angle[kf]), frame.angle,
+            jnp.maximum(idx, 0), matched,
+        )
+        matched_np = np.asarray(matched)
+        if matched_np.sum() < 15:
+            return None
+        idx_np = np.asarray(idx)
+        qi = np.nonzero(matched_np)[0]
+        assign = np.full(frame.capacity, -1, np.int32)
+        assign[idx_np[qi]] = kf_lm[qi]
+
+        has = assign >= 0
+        Xw = lm.pos[np.maximum(assign, 0)]
+        obs = np.stack([
+            np.asarray(frame.xy)[:, 0], np.asarray(frame.xy)[:, 1],
+            np.asarray(frame.u_right)], 1)
+        frame_valid = np.asarray(frame.valid)
+        edge_active = has & (np.asarray(frame.u_right) > 0) & frame_valid
+        inv_sigma2 = np.asarray(self.cfg.orb.inv_level_sigma2)[
+            np.asarray(frame.octave)]
+        c = self.cfg.camera
+        cam5 = jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf], jnp.float32)
+        pres = pose_opt.pose_optimization(
+            jnp.asarray(self.Tcw), jnp.asarray(Xw), jnp.asarray(obs),
+            jnp.asarray(inv_sigma2), jnp.asarray(edge_active), cam5,
+            rounds=self.cfg.ba.pose_rounds,
+            iters=self.cfg.ba.pose_iters_per_round,
+        )
+        if int(pres.num_inliers) < 10:
+            return None
+        inl = np.asarray(pres.inliers)
+        assign = np.where(edge_active & ~inl, -1, assign)
+        return np.asarray(pres.Tcw), assign
 
     # ---------------- relocalization ----------------
 

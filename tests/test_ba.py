@@ -10,7 +10,7 @@ from pyorbslam_tpu.optim import ba
 
 def make_ba_problem(
     rng, n_cam=8, n_pnt=200, noise_px=0.3, pose_noise=0.05, pnt_noise=0.10,
-    outlier_frac=0.0, pad_cam=0, pad_pnt=0,
+    outlier_frac=0.0, pad_cam=0, pad_pnt=0, pnt_span=None,
 ):
     fx = fy = 400.0
     cx, cy = 320.0, 120.0
@@ -22,8 +22,11 @@ def make_ba_problem(
     for i in range(n_cam):
         T_true[i, :3, 3] = [-0.8 * i + rng.normal(0, 0.1), rng.normal(0, 0.05), rng.normal(0, 0.1)]
 
+    if pnt_span is None:
+        pnt_span = (-12.0, 12.0)  # default: points around the short trajectory
     pts = np.stack([
-        rng.uniform(-12, 12, n_pnt), rng.uniform(-4, 4, n_pnt),
+        rng.uniform(pnt_span[0], pnt_span[1], n_pnt),
+        rng.uniform(-4, 4, n_pnt),
         rng.uniform(6, 40, n_pnt),
     ], 1).astype(np.float32)
 
@@ -135,6 +138,74 @@ class TestBundleAdjust:
         rng = np.random.default_rng(4)
         prob, T_true, _ = make_ba_problem(rng, noise_px=0.3)
         res = ba.bundle_adjust(prob)
+        np.testing.assert_allclose(
+            np.asarray(res.cam_Tcw)[0], np.asarray(prob.cam_Tcw)[0], atol=1e-7
+        )
+
+
+class TestBundleAdjustCG:
+    """Implicit-Schur PCG engine (optim/ba_cg.py) — the global-BA path."""
+
+    def test_cg_matches_dense(self):
+        from pyorbslam_tpu.optim import ba_cg
+
+        rng = np.random.default_rng(10)
+        prob, T_true, pts = make_ba_problem(
+            rng, noise_px=0.3, pose_noise=0.06, pnt_noise=0.12
+        )
+        res_d = ba.bundle_adjust(prob)
+        res_c = ba_cg.bundle_adjust_cg(prob, cg_iters=96)
+        err_d = np.linalg.norm(
+            np.asarray(res_d.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        err_c = np.linalg.norm(
+            np.asarray(res_c.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        # both engines converge to the same optimum within solver noise
+        assert err_c.max() < max(2.0 * err_d.max(), 0.02), (err_d, err_c)
+
+    def test_cg_outlier_gating(self):
+        from pyorbslam_tpu.optim import ba_cg
+
+        rng = np.random.default_rng(11)
+        prob, T_true, _ = make_ba_problem(rng, noise_px=0.3, outlier_frac=0.15)
+        res = ba_cg.bundle_adjust_cg(prob)
+        inlier_rate = float(np.asarray(res.obs_inlier).mean())
+        assert 0.75 < inlier_rate < 0.92, inlier_rate
+        final_err = np.linalg.norm(
+            np.asarray(res.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        assert final_err.max() < 0.05, final_err
+
+    def test_cg_large_problem(self):
+        """A problem size the dense engine cannot touch: 192 cams, 12k
+        points (dense coupling would be 192*6 x 12000*3 = 41M floats per
+        materialization x2)."""
+        from pyorbslam_tpu.optim import ba_cg
+
+        rng = np.random.default_rng(12)
+        prob, T_true, pts = make_ba_problem(
+            rng, n_cam=192, n_pnt=12000, noise_px=0.3,
+            pose_noise=0.04, pnt_noise=0.10,
+            pnt_span=(-12.0, 0.8 * 191 + 12.0),  # cover the whole trajectory
+        )
+        res = ba_cg.bundle_adjust_cg(prob, iters1=4, iters2=6, cg_iters=48)
+        init_err = np.linalg.norm(
+            np.asarray(prob.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        final_err = np.linalg.norm(
+            np.asarray(res.cam_Tcw)[:, :3, 3] - T_true[:, :3, 3], axis=1
+        )
+        assert final_err.mean() < 0.3 * init_err.mean(), (
+            init_err.mean(), final_err.mean()
+        )
+
+    def test_cg_fixed_camera_untouched(self):
+        from pyorbslam_tpu.optim import ba_cg
+
+        rng = np.random.default_rng(13)
+        prob, _, _ = make_ba_problem(rng, noise_px=0.3)
+        res = ba_cg.bundle_adjust_cg(prob)
         np.testing.assert_allclose(
             np.asarray(res.cam_Tcw)[0], np.asarray(prob.cam_Tcw)[0], atol=1e-7
         )

@@ -86,3 +86,28 @@ class TestSystem:
             sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
         assert sysm.map.keyframes.n == kfs_before
         sysm.deactivate_localization_mode()
+
+    def test_reference_kf_fallback_recovers_bad_motion_model(self, data_cache_dir):
+        """track_reference_key_frame semantics (Tracking.py:329-356): when
+        the velocity prediction is garbage, BoW matching against the
+        reference keyframe must recover the pose."""
+        seq = generate_sequence(
+            n_frames=14, width=512, height=160, trajectory="straight",
+            speed=0.8, seed=3, cache_dir=data_cache_dir,
+        )
+        sysm = System(make_cfg(seq))
+        for i in range(12):
+            sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+        assert sysm.state == "OK"
+        # corrupt the motion model: ~34 degrees of yaw + 4 m sideways
+        bad = np.eye(4, dtype=np.float32)
+        c, s = np.cos(0.6), np.sin(0.6)
+        bad[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+        bad[0, 3] = 4.0
+        sysm.velocity = bad
+        sysm.track_stereo(seq.left[12], seq.right[12], seq.timestamps[12])
+        assert sysm.state == "OK", sysm.stats[-1]
+        est_wc = np.linalg.inv(sysm.trajectory[-1])
+        gt_wc = seq.poses_wc[12]
+        err = np.linalg.norm(est_wc[:3, 3] - gt_wc[:3, 3])
+        assert err < 0.5, f"pose error after fallback {err:.3f} m"
