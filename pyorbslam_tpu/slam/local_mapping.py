@@ -37,10 +37,12 @@ from pyorbslam_tpu.slam.slam_map import SlamMap
 def _fuse_match_one(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
     f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,
-    Tcw, cfg: SlamConfig,
+    Tcw, cfg: SlamConfig, radius_mult: float = 3.0,
 ):
     """Project candidate landmarks into a keyframe and find the feature
-    each one fuses with (radius 3*scale[predicted level], TH_LOW)."""
+    each one fuses with (radius radius_mult*scale[predicted level], TH_LOW;
+    3.0 for neighbor fuse per fuse_pkf_mp, 4.0 for loop fuse per
+    fuse_kf_scw_mp, ORBMatcher.py:395,482)."""
     cam = jnp.asarray([cfg.camera.fx, cfg.camera.fy, cfg.camera.cx,
                        cfg.camera.cy, cfg.camera.bf], jnp.float32)
     bounds = jnp.asarray([0.0, cfg.camera.width - 1.0, 0.0,
@@ -55,7 +57,7 @@ def _fuse_match_one(
     pred = match_ops.predict_scale(
         proj.dist, p_dmax / 1.2, float(np.log(cfg.orb.scale_factor)),
         cfg.orb.n_levels)
-    radius = 3.0 * scale_factors[pred]
+    radius = radius_mult * scale_factors[pred]
 
     idx, dist, matched = match_ops.match_by_projection(
         proj.u, proj.v, proj.ur,
@@ -67,23 +69,24 @@ def _fuse_match_one(
     return jnp.where(matched, idx, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
 def fuse_match_step(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
     f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,
-    Tcw, cfg: SlamConfig,
+    Tcw, cfg: SlamConfig, radius_mult: float = 3.0,
 ):
     return _fuse_match_one(
         p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
-        f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw, cfg)
+        f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw, cfg,
+        radius_mult)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
 def fuse_match_batch(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
     # per-target keyframe arrays, leading axis T:
     f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw,
-    cfg: SlamConfig,
+    cfg: SlamConfig, radius_mult: float = 3.0,
 ):
     """Fuse one landmark set into T keyframes in a single dispatch
     (vmapped over targets) — one device call per KF instead of one per
@@ -91,7 +94,7 @@ def fuse_match_batch(
     return jax.vmap(
         lambda xy, oc, an, de, va, ur, T: _fuse_match_one(
             p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
-            xy, oc, an, de, va, ur, T, cfg)
+            xy, oc, an, de, va, ur, T, cfg, radius_mult)
     )(f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw)
 
 

@@ -266,9 +266,25 @@ class LoopCloser:
                 ks.obs_lm[kf, feat] = loop_lm
                 m.lm_obs[loop_lm][kf] = feat
 
+        # SearchAndFuse (LoopClosing.py:352-367): project the loop-region
+        # landmarks into every corrected keyframe with a 4*scale radius and
+        # merge duplicates — the loop landmark always wins (the reference
+        # replaces toward mvpLoopMapPoints)
+        prev_neighbors = {ki: set(m.covis.get(ki, {})) for ki in cur_group}
+        self._search_and_fuse(cur_group, loop_kf)
+
         # refresh covisibility for the corrected group
         for ki in cur_group:
             m.update_connections(ki)
+
+        # loop connections acquired through fusion (LoopClosing.py:329-337):
+        # fresh cross-loop covisibility edges feed the essential graph
+        loop_connections: Dict[int, Set[int]] = {}
+        group_set = set(cur_group)
+        for ki in cur_group:
+            fresh = set(m.covis.get(ki, {})) - prev_neighbors[ki] - group_set
+            if fresh:
+                loop_connections[ki] = fresh
 
         # ---------------- essential graph ----------------
         C = ks.n
@@ -298,6 +314,12 @@ class LoopCloser:
         # loop edge between current and loop KF (measured with corrected
         # pose on the current side)
         add_edge(kf, loop_kf)
+        # loop connections from fusion (corrected measurements; the
+        # minFeat=100 strength cut is applied by the covisibility weight)
+        for ki, partners in loop_connections.items():
+            for kj in partners:
+                if m.covis.get(ki, {}).get(kj, 0) >= 100 or kj == loop_kf:
+                    add_edge(ki, kj)
         # spanning tree edges with pre-correction measurements
         for ki in range(1, C):
             parent = m.parent.get(ki)
@@ -357,6 +379,66 @@ class LoopCloser:
 
         # ---------------- global BA ----------------
         self.map.global_ba()
+
+    def _search_and_fuse(self, cur_group: List[int], loop_kf: int):
+        """Project the loop-region point cloud into each corrected
+        keyframe and fuse duplicates (ORBMatcher.fuse_kf_scw_mp semantics:
+        radius 4*scale, TH_LOW; the loop landmark replaces the local one)."""
+        from pyorbslam_tpu.slam.local_mapping import fuse_match_batch
+
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+
+        region = [loop_kf] + m.covisible_neighbors(loop_kf, 10)
+        pts: Set[int] = set()
+        for k2 in region:
+            ids = lm.resolve(ks.obs_lm[k2])
+            pts.update(int(i) for i in ids[ids >= 0] if lm.alive[i])
+        if not pts:
+            return
+        loop_ids = np.fromiter(pts, np.int32)
+
+        cap = 1024
+        while cap < len(loop_ids) and cap < self.cfg.tracking.max_local_points:
+            cap *= 2
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: min(len(loop_ids), cap)] = loop_ids[:cap]
+        safe = np.maximum(p_ids, 0)
+
+        T = 8
+        for c0 in range(0, len(cur_group), T):
+            chunk = cur_group[c0:c0 + T]
+            tgt = (chunk + [chunk[0]] * T)[:T]
+            sel = np.asarray(tgt)
+            matches = np.asarray(fuse_match_batch(
+                jnp.asarray(lm.pos[safe]), jnp.asarray(lm.desc[safe]),
+                jnp.asarray(lm.normal[safe]), jnp.asarray(lm.dmin[safe]),
+                jnp.asarray(lm.dmax[safe]), jnp.asarray(p_ids >= 0),
+                jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
+                jnp.asarray(ks.kp_angle[sel]), jnp.asarray(ks.kp_desc[sel]),
+                jnp.asarray(ks.kp_valid[sel]), jnp.asarray(ks.u_right[sel]),
+                jnp.asarray(ks.Tcw[sel]), self.cfg, radius_mult=4.0,
+            ))
+            for ti, target_kf in enumerate(chunk):
+                match = matches[ti]
+                for slot in np.nonzero(match >= 0)[0]:
+                    p = int(p_ids[slot])
+                    if p < 0 or not lm.alive[p]:
+                        continue
+                    p = int(lm.resolve(np.asarray([p]))[0])
+                    if p < 0 or not lm.alive[p]:
+                        continue
+                    feat = int(match[slot])
+                    q = int(ks.obs_lm[target_kf, feat])
+                    if q == p:
+                        continue
+                    if q >= 0 and lm.alive[q]:
+                        m.replace_landmark(q, p)   # loop point wins
+                    else:
+                        ks.obs_lm[target_kf, feat] = p
+                        m.lm_obs[p][target_kf] = feat
+                        lm.n_obs[p] += 2 if ks.u_right[target_kf, feat] > 0 else 1
 
     def on_keyframe(self, kf: int, bow: Dict[int, float]) -> bool:
         """Run the full loop-closing pipeline; returns True if a loop was
