@@ -96,6 +96,10 @@ class OrbConfig:
     edge_threshold: int = 19      # reflected border (ORBextractor.cpp EDGE_THRESHOLD)
     patch_size: int = 31
     half_patch_size: int = 15
+    # Atlas extraction: run both images' pyramids through whole-canvas
+    # ops (ops/atlas.py) instead of per-level dispatches.  Identical
+    # semantics (tests/test_atlas.py); ~2-3x fewer device kernels.
+    use_atlas: bool = True
 
     @property
     def scale_factors(self) -> np.ndarray:

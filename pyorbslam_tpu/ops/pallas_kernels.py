@@ -189,7 +189,11 @@ def _brief_kernel(xy_ref, cos_ref, sin_ref, patx_ref, paty_ref, img_hbm, out_ref
         ).wait()
 
         wk = win[pl.ds(pl.multiple_of(k * _WIN_R, 8), _WIN_R), :]
-        m = jnp.dot(row_sel, wk, preferred_element_type=jnp.float32)
+        # HIGHEST: the MXU's default bf16 passes truncate the blurred
+        # image's fractional intensities and flip near-tie BRIEF bits;
+        # full-f32 passes make the one-hot selection exact
+        m = jnp.dot(row_sel, wk, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         vals = jnp.sum(m[:, :128] * sel_lo + m[:, 128:] * sel_hi,
                        axis=1, keepdims=True)            # (512, 1)
         out_ref[pl.ds(k, 1), :] = vals.reshape(1, 512)
@@ -249,6 +253,128 @@ def brief_descriptors_pallas(
     )(xy_p.astype(jnp.int32), cos_p, sin_p, patx, paty, img)
 
     # pair-compare + pack -> uint32 words outside the kernel (fused by XLA)
+    bits = vals[:n, 0::2] < vals[:n, 1::2]
+    words = bits.astype(jnp.uint32).reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF on the extraction canvas (atlas path)
+# ---------------------------------------------------------------------------
+#
+# Same selection-algebra sampling as above, with two changes that matter:
+#   * keypoint coords are direct canvas indices (the canvas already embeds
+#     every level's 19 px border), so there is no border offset; and
+#   * the canvas is the u8-ROUNDED blurred working image (integers 0..255
+#     are exact in bfloat16's 8 significand bits), so the one-hot selection
+#     matmul runs at the MXU's native bf16 precision and is still exact —
+#     no HIGHEST multi-pass needed.
+
+_REACH = 19           # max |rounded rotated pattern offset| (asserted below)
+_WIN_R2 = 64          # 2*19+1 rows + up to 15 rows of bf16 sublane alignment
+_WIN_C2 = 256         # 128 lane-alignment slack + 39 + headroom
+
+
+def _brief_canvas_kernel(xy_ref, cos_ref, sin_ref, patx_ref, paty_ref,
+                         img_hbm, out_ref, win, sems):
+    for k in range(_BRIEF_K):
+        y_al = pl.multiple_of((((xy_ref[k, 1] - _REACH) // 16) * 16), 16)
+        x_al = pl.multiple_of(((((xy_ref[k, 0] - _REACH) // 128) * 128)), 128)
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(y_al, _WIN_R2), pl.ds(x_al, _WIN_C2)],
+            win.at[pl.ds(k * _WIN_R2, _WIN_R2), :],
+            sems.at[k],
+        ).start()
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (512, _WIN_R2), 1)
+    col_lo = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 1)
+    col_hi = col_lo + 128
+    px = patx_ref[:, :]
+    py = paty_ref[:, :]
+
+    def body(k, carry):
+        a = cos_ref[k, 0]
+        b = sin_ref[k, 0]
+        y0 = xy_ref[k, 1] - _REACH
+        x0 = xy_ref[k, 0] - _REACH
+        ry_off = y0 - (y0 // 16) * 16 + _REACH
+        rx_off = x0 - (x0 // 128) * 128 + _REACH
+
+        ry = jnp.round(px * b + py * a).astype(jnp.int32) + ry_off
+        rx = jnp.round(px * a - py * b).astype(jnp.int32) + rx_off
+
+        row_sel = (row_iota == ry[:, :_WIN_R2]).astype(jnp.bfloat16)
+        sel_lo = (col_lo == rx).astype(jnp.float32)
+        sel_hi = (col_hi == rx).astype(jnp.float32)
+
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(0, _WIN_R2), pl.ds(0, _WIN_C2)],
+            win.at[pl.ds(0, _WIN_R2), :],
+            sems.at[k],
+        ).wait()
+        wk = win[pl.ds(pl.multiple_of(k * _WIN_R2, 16), _WIN_R2), :]
+        m = jnp.dot(row_sel, wk, preferred_element_type=jnp.float32)
+        vals = jnp.sum(m[:, :128] * sel_lo + m[:, 128:] * sel_hi,
+                       axis=1, keepdims=True)
+        out_ref[pl.ds(k, 1), :] = vals.reshape(1, 512)
+        return carry
+
+    jax.lax.fori_loop(0, _BRIEF_K, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def brief_descriptors_canvas(
+    blur_canvas: jnp.ndarray,      # (Hc, Wc) f32 u8-rounded blurred canvas
+    xy: jnp.ndarray,               # (N, 2) int32 canvas coords
+    angle_deg: jnp.ndarray,        # (N,) float32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from pyorbslam_tpu.ops.orb_descriptor import brief_pattern
+
+    pattern = np.asarray(brief_pattern(), np.float32)
+    assert float(np.ceil(np.hypot(pattern[:, 0], pattern[:, 1]).max())) <= _REACH
+
+    n = xy.shape[0]
+    n_pad = -(-n // _BRIEF_K) * _BRIEF_K
+    xy_p = jnp.clip(jnp.pad(xy, ((0, n_pad - n), (0, 0))), _REACH, None)
+    rad = jnp.pad(angle_deg, (0, n_pad - n)) * jnp.float32(np.pi / 180.0)
+    cos_p = jnp.cos(rad)[:, None]
+    sin_p = jnp.sin(rad)[:, None]
+
+    # bf16 canvas (integers <= 255 are exact) + alignment slack so every
+    # aligned window read stays in range
+    hc, wc = blur_canvas.shape
+    img = jnp.pad(blur_canvas.astype(jnp.bfloat16), ((0, 64), (0, 384)))
+
+    patx = jnp.asarray(np.repeat(pattern[:, 0:1], 128, axis=1))
+    paty = jnp.asarray(np.repeat(pattern[:, 1:2], 128, axis=1))
+
+    vals = pl.pallas_call(
+        _brief_canvas_kernel,
+        grid=(n_pad // _BRIEF_K,),
+        in_specs=[
+            pl.BlockSpec((_BRIEF_K, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BRIEF_K, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BRIEF_K, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_BRIEF_K, 512), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_BRIEF_K * _WIN_R2, _WIN_C2), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_BRIEF_K,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n_pad, 512), jnp.float32),
+        interpret=interpret,
+    )(xy_p.astype(jnp.int32), cos_p, sin_p, patx, paty, img)
+
     bits = vals[:n, 0::2] < vals[:n, 1::2]
     words = bits.astype(jnp.uint32).reshape(n, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

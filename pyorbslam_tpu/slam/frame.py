@@ -53,8 +53,15 @@ def build_stereo_frame(
     # worse than the unbatched forms)
     levels_l = pyr_ops.build_pyramid(left, orb.scale_factor, orb.n_levels)
     levels_r = pyr_ops.build_pyramid(right, orb.scale_factor, orb.n_levels)
-    lf: FrameFeatures = extract_features(left, orb, levels=levels_l)
-    rf: FrameFeatures = extract_features(right, orb, levels=levels_r)
+    if orb.use_atlas:
+        from pyorbslam_tpu.ops.atlas import extract_features_atlas
+
+        lf, rf = extract_features_atlas(
+            left, right, orb, levels_l=levels_l, levels_r=levels_r
+        )
+    else:
+        lf: FrameFeatures = extract_features(left, orb, levels=levels_l)
+        rf: FrameFeatures = extract_features(right, orb, levels=levels_r)
 
     atlas_l = stereo_ops.build_atlas(levels_l)
     atlas_r = stereo_ops.build_atlas(levels_r)
