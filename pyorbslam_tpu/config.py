@@ -173,6 +173,10 @@ class BaConfig:
     gba_iters: int = 10
     # Pose graph
     pose_graph_iters: int = 20
+    # above this many keyframes the essential graph solve switches from
+    # the dense (7C x 7C) normal-matrix solver to matrix-free PCG
+    pose_graph_cg_threshold: int = 384
+    pose_graph_cg_iters: int = 96
 
 
 @dataclasses.dataclass(frozen=True)

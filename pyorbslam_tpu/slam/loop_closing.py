@@ -20,6 +20,7 @@ Replaces LoopClosing.py as a synchronous stage invoked per keyframe:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -32,7 +33,10 @@ from pyorbslam_tpu.ops import matching as match_ops
 from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
 from pyorbslam_tpu.optim import ba
 from pyorbslam_tpu.optim.horn import sim3_ransac
-from pyorbslam_tpu.optim.pose_graph import optimize_pose_graph
+from pyorbslam_tpu.optim.pose_graph import (
+    optimize_pose_graph,
+    optimize_pose_graph_cg,
+)
 from pyorbslam_tpu.optim.sim3_opt import optimize_sim3
 from pyorbslam_tpu.place.keyframe_db import KeyFrameDatabase
 from pyorbslam_tpu.place.vocabulary import Vocabulary
@@ -340,7 +344,16 @@ class LoopCloser:
                 add_edge(ki, kj)
 
         if len(e_i) >= 2:
-            res = optimize_pose_graph(
+            # dense normal-matrix solve for small graphs; matrix-free PCG
+            # (O(E+C) memory) once the map outgrows it
+            if C > self.cfg.ba.pose_graph_cg_threshold:
+                solver = functools.partial(
+                    optimize_pose_graph_cg,
+                    cg_iters=self.cfg.ba.pose_graph_cg_iters,
+                )
+            else:
+                solver = optimize_pose_graph
+            res = solver(
                 jnp.asarray(Rs), jnp.asarray(tss), jnp.asarray(ss),
                 jnp.asarray(fixed),
                 jnp.asarray(np.array(e_i, np.int32)),

@@ -8,7 +8,10 @@ import pytest
 from pyorbslam_tpu.geometry import se3, sim3 as sim3_mod
 from pyorbslam_tpu.geometry.sim3 import Sim3
 from pyorbslam_tpu.optim.horn import horn_align, sim3_ransac
-from pyorbslam_tpu.optim.pose_graph import optimize_pose_graph
+from pyorbslam_tpu.optim.pose_graph import (
+    optimize_pose_graph,
+    optimize_pose_graph_cg,
+)
 from pyorbslam_tpu.optim.sim3_opt import optimize_sim3
 
 
@@ -186,3 +189,63 @@ class TestPoseGraph:
             centers(np.asarray(res.R), np.asarray(res.t))[C - 1]
             - centers(gt[:, :3, :3], gt[:, :3, 3])[C - 1])
         assert gap < 0.25, gap
+
+
+    def test_cg_matches_dense(self):
+        """The matrix-free PCG solver and the dense normal-matrix solver
+        are the same algorithm (same damping, same acceptance); on a
+        well-conditioned graph they must land on the same poses."""
+        rng = np.random.default_rng(9)
+        C = 24
+        gt, est = [], []
+        for i in range(C):
+            ang = 2 * np.pi * i / C
+            Rwc = np.asarray(se3.exp_so3(jnp.asarray(
+                np.array([0, ang, 0], np.float32))))
+            Twc = np.eye(4, dtype=np.float32)
+            Twc[:3, :3] = Rwc
+            Twc[:3, 3] = [8 * np.sin(ang), 0, 8 * (1 - np.cos(ang))]
+            gt.append(np.linalg.inv(Twc).astype(np.float32))
+        est = [gt[0]]
+        for i in range(1, C):
+            rel = gt[i] @ np.linalg.inv(gt[i - 1])
+            xi = np.concatenate([
+                rng.normal(0, 0.008, 3), rng.normal(0, 0.04, 3)
+            ]).astype(np.float32)
+            est.append((np.asarray(se3.exp_se3(jnp.asarray(xi))) @ rel
+                        @ est[-1]).astype(np.float32))
+        gt, est = np.stack(gt), np.stack(est)
+
+        e_i, e_j, mR, mt = [], [], [], []
+        for i in range(C - 1):
+            Sji = est[i + 1] @ np.linalg.inv(est[i])
+            e_i.append(i); e_j.append(i + 1)
+            mR.append(Sji[:3, :3]); mt.append(Sji[:3, 3])
+        loop = gt[0] @ np.linalg.inv(gt[C - 1])
+        e_i.append(C - 1); e_j.append(0)
+        mR.append(loop[:3, :3]); mt.append(loop[:3, 3])
+
+        fixed = np.zeros(C, bool); fixed[0] = True
+        args = (
+            jnp.asarray(est[:, :3, :3]), jnp.asarray(est[:, :3, 3]),
+            jnp.ones(C, jnp.float32), jnp.asarray(fixed),
+            jnp.asarray(np.array(e_i, np.int32)),
+            jnp.asarray(np.array(e_j, np.int32)),
+            jnp.asarray(np.stack(mR).astype(np.float32)),
+            jnp.asarray(np.stack(mt).astype(np.float32)),
+            jnp.ones(len(e_i), jnp.float32),
+            jnp.ones(len(e_i), bool),
+        )
+        dense = optimize_pose_graph(*args)
+        cg = optimize_pose_graph_cg(*args, cg_iters=160)
+
+        def centers(Rm, tm):
+            return -np.einsum("cij,cj->ci", np.transpose(Rm, (0, 2, 1)), tm)
+
+        c_d = centers(np.asarray(dense.R), np.asarray(dense.t))
+        c_c = centers(np.asarray(cg.R), np.asarray(cg.t))
+        d = np.linalg.norm(c_d - c_c, axis=1)
+        assert d.max() < 2e-2, d.max()
+        # and both actually closed the loop
+        c_gt = centers(gt[:, :3, :3], gt[:, :3, 3])
+        assert np.linalg.norm(c_c[C - 1] - c_gt[C - 1]) < 0.25
