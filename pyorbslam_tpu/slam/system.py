@@ -31,7 +31,11 @@ from pyorbslam_tpu.place.keyframe_db import KeyFrameDatabase
 from pyorbslam_tpu.place.vocabulary import Vocabulary
 from pyorbslam_tpu.slam.frame import StereoFrame, build_stereo_frame_jit, unproject
 from pyorbslam_tpu.slam.slam_map import SlamMap
-from pyorbslam_tpu.slam.tracking import local_track_step, motion_track_step
+from pyorbslam_tpu.slam.tracking import (
+    fused_track_step,
+    local_track_step,
+    motion_track_step,
+)
 
 
 def _cap_bucket(n: int, max_cap: int) -> int:
@@ -79,18 +83,19 @@ class System:
         self.trajectory: list = []   # raw per-frame Tcw at track time
         self.frame_refs: list = []   # (ref_kf, Tcr): relative log for export
         self.stats: list = []
+        self._mirror = None          # device-resident landmark blocks
+        self._mirror_stale = True
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> np.ndarray:
         self.frame_id += 1
-        frame = build_stereo_frame_jit(
-            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
-            self.cfg,
-        )
+        left = jnp.asarray(left, jnp.float32)
+        right = jnp.asarray(right, jnp.float32)
         if self.state == "NOT_INITIALIZED":
+            frame = build_stereo_frame_jit(left, right, self.cfg)
             self._stereo_initialization(frame, timestamp)
         else:
-            self._track(frame, timestamp)
+            self._track_fused(left, right, timestamp)
         self.trajectory.append(self.Tcw.copy())
         # relative-pose log: frame pose expressed in its reference KF so
         # later BA / loop corrections propagate to the whole trajectory
@@ -146,6 +151,68 @@ class System:
         self.state = "OK"
 
     # ---------------- per-frame tracking ----------------
+
+    def _landmark_mirror(self):
+        """Device-resident landmark blocks (positions, descriptors,
+        normals, distance bands, alive mask), refreshed only after map
+        mutations — per-frame tracking gathers from these by index so the
+        blocks never cross the host boundary (SURVEY §7 host/device split)."""
+        lm = self.map.landmarks
+        if self._mirror is None or self._mirror_stale:
+            cap = 1 << 14
+            while cap < lm.n:
+                cap <<= 1
+            cap = min(cap, lm.capacity)
+            self._mirror = (
+                jnp.asarray(lm.pos[:cap]), jnp.asarray(lm.desc[:cap]),
+                jnp.asarray(lm.normal[:cap]), jnp.asarray(lm.dmin[:cap]),
+                jnp.asarray(lm.dmax[:cap]), jnp.asarray(lm.alive[:cap]),
+            )
+            self._mirror_stale = False
+        return self._mirror
+
+    def _track_fused(self, left, right, timestamp: float):
+        """Fast path: the whole per-frame hot path in one device dispatch
+        (tracking.fused_track_step) + one packed read-back.  Falls back to
+        the step-by-step host path on weak tracking (rare)."""
+        lm = self.map.landmarks
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        q_lm = lm.resolve(self.last_assign)
+        local_ids = self._local_point_ids(self.last_assign)
+        cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(local_ids)] = local_ids
+
+        fres = fused_track_step(
+            left, right, *self._landmark_mirror(),
+            jnp.asarray(q_lm), self.last_frame.angle, self.last_frame.octave,
+            jnp.asarray(p_ids), jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw),
+            self.cfg,
+        )
+        stats, assign, p_visible, Tcw = jax.device_get(
+            (fres.stats, fres.assign, fres.p_visible, fres.Tcw)
+        )
+        n_matches, n_in_motion, n_inliers, tracked_close, non_tracked_close = (
+            int(x) for x in stats
+        )
+        if n_matches < 20 or n_in_motion < 20 or n_inliers < 10:
+            # weak tracking: rerun through the host state machine (BoW
+            # reference-KF fallback, wide-radius rescue, relocalization)
+            return self._track(fres.frame, timestamp)
+
+        vis_ids = p_ids[p_visible]
+        vis_ids = vis_ids[vis_ids >= 0]
+        lm.visible[vis_ids] += 1
+        found_ids = np.unique(assign[assign >= 0])
+        lm.found[found_ids] += 1
+        lm.visible[found_ids] += 1
+
+        self.state = "OK" if n_inliers >= 20 else "MARGINAL"
+        self.Tcw = np.asarray(Tcw, np.float32)
+        self._finish_track(
+            fres.frame, assign, n_matches, n_inliers,
+            tracked_close, non_tracked_close, len(local_ids), timestamp,
+        )
 
     def _track(self, frame: StereoFrame, timestamp: float):
         lm = self.map.landmarks
@@ -240,15 +307,25 @@ class System:
                 self.Tcw = Tcw_pred
                 assign = np.full(frame.capacity, -1, np.int32)
 
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid)
+        th_depth = self.cfg.camera.depth_threshold
+        close = (depth > 0) & (depth < th_depth) & valid
+        tracked_close = int((close & (assign >= 0)).sum())
+        non_tracked_close = int((close & (assign < 0)).sum())
+        self._finish_track(
+            frame, assign, n_matches, n_inliers,
+            tracked_close, non_tracked_close, len(local_ids), timestamp,
+        )
+
+    def _finish_track(self, frame, assign, n_matches, n_inliers,
+                      tracked_close, non_tracked_close, n_local,
+                      timestamp):
         self.velocity = (
             self.Tcw @ np.linalg.inv(self.trajectory[-1])
         ).astype(np.float32)
 
         self.frames_since_kf += 1
-        depth = np.asarray(frame.depth)
-        th_depth = self.cfg.camera.depth_threshold
-        tracked_close = int(((depth > 0) & (depth < th_depth) & (assign >= 0)).sum())
-        non_tracked_close = int(((depth > 0) & (depth < th_depth) & (assign < 0)).sum())
         need_close = tracked_close < 100 and non_tracked_close > 70
         # MARGINAL frames force a keyframe (refresh the local map before
         # tracking dies); WEAK frames with failed relocalization reseed via
@@ -274,7 +351,7 @@ class System:
         self.stats.append(
             dict(frame=self.frame_id, matches=n_matches, inliers=n_inliers,
                  tracked_close=tracked_close, new_kf=need_kf,
-                 local_points=len(local_ids), n_kfs=self.map.keyframes.n,
+                 local_points=n_local, n_kfs=self.map.keyframes.n,
                  n_landmarks=int(self.map.landmarks.alive.sum())),
         )
 
@@ -341,6 +418,7 @@ class System:
                 # model (the old velocity lives in the pre-correction frame)
                 self.Tcw = self.map.keyframes.Tcw[kf].copy()
                 self.velocity = np.eye(4, dtype=np.float32)
+        self._mirror_stale = True   # the store changed; re-upload lazily
         return kf
 
     # ---------------- reference-keyframe tracking ----------------

@@ -32,7 +32,12 @@ from pyorbslam_tpu.geometry import se3
 from pyorbslam_tpu.ops import matching as match_ops
 from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
 from pyorbslam_tpu.optim import pose_opt
-from pyorbslam_tpu.slam.frame import StereoFrame, build_stereo_frame_jit, unproject
+from pyorbslam_tpu.slam.frame import (
+    StereoFrame,
+    build_stereo_frame,
+    build_stereo_frame_jit,
+    unproject,
+)
 from pyorbslam_tpu.slam.mapstore import LandmarkStore
 
 
@@ -233,6 +238,91 @@ def local_track_step(
         Tcw=result.Tcw, feat_local=feat_local, tracked=tracked,
         inlier_edge=result.inliers, n_inliers=n_inliers,
         p_visible=active,
+    )
+
+
+class FusedTrackResult(NamedTuple):
+    frame: StereoFrame        # the built frame (stays on device)
+    Tcw: jnp.ndarray          # (4, 4) pose after local-map optimization
+    assign: jnp.ndarray       # (N,) int32 landmark id per feature (-1 none)
+    p_visible: jnp.ndarray    # (P,) bool local point passed the frustum gate
+    stats: jnp.ndarray        # (5,) int32: n_matches, n_inliers_motion,
+    #                           n_inliers_local, tracked_close, non_tracked_close
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "th_base"))
+def fused_track_step(
+    left: jnp.ndarray, right: jnp.ndarray,
+    m_pos: jnp.ndarray,        # (M, 3)  device-resident landmark mirror
+    m_desc: jnp.ndarray,       # (M, 8)
+    m_normal: jnp.ndarray,     # (M, 3)
+    m_dmin: jnp.ndarray,       # (M,)
+    m_dmax: jnp.ndarray,       # (M,)
+    m_alive: jnp.ndarray,      # (M,) bool
+    q_lm: jnp.ndarray,         # (N,) int32 landmark id per LAST-frame feature
+    q_angle: jnp.ndarray,      # (N,) last-frame keypoint angles (device)
+    q_octave: jnp.ndarray,     # (N,) last-frame octaves (device)
+    p_ids: jnp.ndarray,        # (P,) int32 local-map landmark ids (-1 pad)
+    Tcw_pred: jnp.ndarray,     # (4, 4) velocity prediction
+    Tlw: jnp.ndarray,          # (4, 4) last frame pose
+    cfg: SlamConfig,
+    th_base: float = 7.0,
+) -> FusedTrackResult:
+    """The whole per-frame hot path as ONE device program: stereo frame
+    build + motion-model tracking + local-map tracking, gathering landmark
+    blocks from the device-resident mirror by index.
+
+    Per frame the host uploads only the two images and three small index/
+    pose arrays and reads back one packed result — the landmark blocks
+    (positions/descriptors/normals/bands) never cross the host boundary.
+    This is the TPU-native reshaping of Tracking.track (Tracking.py:148-280),
+    whose object-graph reads the reference does per-feature on the host.
+
+    Semantics note: the local point set ``p_ids`` is the covisible
+    neighborhood of the PREVIOUS frame's assignments (the host computes it
+    before dispatch), one frame staler than Tracking.update_local_points
+    (Tracking.py:392-436).  Between keyframes the local neighborhood is
+    static, so this differs only on the frame immediately after a map
+    change; weak results fall back to the step-by-step host path.
+    """
+    frame = build_stereo_frame(left, right, cfg)
+
+    safe_q = jnp.maximum(q_lm, 0)
+    q_active = (q_lm >= 0) & m_alive[safe_q]
+    res = motion_track_step.__wrapped__(
+        frame, m_pos[safe_q], m_desc[safe_q], q_angle, q_octave, q_active,
+        Tcw_pred, Tlw, cfg, th_base,
+    )
+    assign1 = jnp.where(res.feat_query >= 0,
+                        q_lm[jnp.maximum(res.feat_query, 0)], -1)
+    ok_motion = res.n_matches >= 20
+    Tcw_mid = jnp.where(ok_motion, res.Tcw, Tcw_pred)
+
+    feat_has = assign1 >= 0
+    feat_xw = m_pos[jnp.maximum(assign1, 0)]
+    safe_p = jnp.maximum(p_ids, 0)
+    lres = local_track_step.__wrapped__(
+        frame, feat_xw, feat_has,
+        m_pos[safe_p], m_desc[safe_p], m_normal[safe_p],
+        m_dmin[safe_p], m_dmax[safe_p],
+        (p_ids >= 0) & m_alive[safe_p],
+        Tcw_mid, cfg,
+    )
+    assign = jnp.where(lres.feat_local >= 0,
+                       p_ids[jnp.maximum(lres.feat_local, 0)], assign1)
+    assign = jnp.where(lres.tracked, assign, -1)
+
+    depth = frame.depth
+    close = (depth > 0) & (depth < cfg.camera.depth_threshold) & frame.valid
+    tracked_close = jnp.sum((close & (assign >= 0)).astype(jnp.int32))
+    non_tracked_close = jnp.sum((close & (assign < 0)).astype(jnp.int32))
+    stats = jnp.stack([
+        res.n_matches, res.n_inliers, lres.n_inliers,
+        tracked_close, non_tracked_close,
+    ]).astype(jnp.int32)
+    return FusedTrackResult(
+        frame=frame, Tcw=lres.Tcw, assign=assign,
+        p_visible=lres.p_visible, stats=stats,
     )
 
 
