@@ -89,10 +89,13 @@ class Vocabulary:
         feat_node (N,)) as numpy.  feat_node is the tree node at depth
         L - levels_up (the FeatureVector grouping key)."""
         nd, cs, nc, w, wid = self._device_arrays()
-        word, weight, node = _transform_jit(
+        packed = _transform_packed_jit(
             jnp.asarray(desc), nd, cs, nc, w, wid, self.k, self.L, levels_up
         )
-        return np.asarray(word), np.asarray(weight), np.asarray(node)
+        # one device->host transfer (remote-tunnel reads cost ~30 ms each)
+        out = np.asarray(packed)
+        n = desc.shape[0]
+        return out[:n], out[n: 2 * n].view(np.float32), out[2 * n:]
 
     def bow_vector(self, word: np.ndarray, weight: np.ndarray,
                    valid: Optional[np.ndarray] = None) -> Dict[int, float]:
@@ -183,6 +186,22 @@ class Vocabulary:
             n_children=n_children, weight=weight, word_id=word_id,
             n_words=next_word,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "levels_up"))
+def _transform_packed_jit(desc, node_desc, child_start, n_children, weight,
+                          word_id, k: int, L: int, levels_up: int):
+    """:func:`_transform_jit` with the three outputs packed into one int32
+    buffer [word N | weight-bits N | node N] for a single host read."""
+    word, w, node = _transform_jit.__wrapped__(
+        desc, node_desc, child_start, n_children, weight, word_id,
+        k, L, levels_up,
+    )
+    return jnp.concatenate([
+        word.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(w.astype(jnp.float32), jnp.int32),
+        node.astype(jnp.int32),
+    ])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "L", "levels_up"))

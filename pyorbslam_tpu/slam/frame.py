@@ -88,6 +88,42 @@ def build_stereo_frame_jit(
     return build_stereo_frame(left, right, cfg)
 
 
+@jax.jit
+def pack_frame(frame: StereoFrame) -> jnp.ndarray:
+    """Every per-feature field the host consumes, in ONE int32 buffer —
+    a device->host transfer through the remote tunnel costs ~30 ms of
+    latency per array regardless of size, so keyframe snapshots cross in
+    a single read: [xy bits 2N | angle N | u_right N | depth N |
+    response N | octave N | valid N | desc 8N]."""
+    def b(a):
+        return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    return jnp.concatenate([
+        b(frame.xy).reshape(-1), b(frame.angle), b(frame.u_right),
+        b(frame.depth), b(frame.response), frame.octave,
+        frame.valid.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(frame.desc, jnp.int32).reshape(-1),
+    ])
+
+
+def unpack_frame_np(packed: np.ndarray, n: int) -> dict:
+    """Host-side inverse of :func:`pack_frame` (numpy views, no copies
+    except octave/valid)."""
+    def f(a):
+        return a.view(np.float32)
+
+    return dict(
+        xy=f(packed[: 2 * n]).reshape(n, 2),
+        angle=f(packed[2 * n: 3 * n]),
+        u_right=f(packed[3 * n: 4 * n]),
+        depth=f(packed[4 * n: 5 * n]),
+        response=f(packed[5 * n: 6 * n]),
+        octave=packed[6 * n: 7 * n].copy(),
+        valid=packed[7 * n: 8 * n].astype(bool),
+        desc=packed[8 * n: 16 * n].view(np.uint32).reshape(n, 8),
+    )
+
+
 def unproject(frame: StereoFrame, cfg: SlamConfig, Twc: jnp.ndarray) -> jnp.ndarray:
     """Back-project all stereo-matched keypoints to world coords
     (Frame.unproject_stereo, Frame.py:281-291), vectorized.  Returns

@@ -29,7 +29,13 @@ from pyorbslam_tpu.optim.epnp import epnp_ransac
 from pyorbslam_tpu.place import vocabulary as vocab_mod
 from pyorbslam_tpu.place.keyframe_db import KeyFrameDatabase
 from pyorbslam_tpu.place.vocabulary import Vocabulary
-from pyorbslam_tpu.slam.frame import StereoFrame, build_stereo_frame_jit, unproject
+from pyorbslam_tpu.slam.frame import (
+    StereoFrame,
+    build_stereo_frame_jit,
+    pack_frame,
+    unpack_frame_np,
+    unproject,
+)
 from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import (
     fused_track_step,
@@ -85,6 +91,7 @@ class System:
         self.stats: list = []
         self._mirror = None          # device-resident landmark blocks
         self._mirror_stale = True
+        self._frame_cache = None     # (frame, host snapshot) of the last pull
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> np.ndarray:
@@ -189,9 +196,12 @@ class System:
             jnp.asarray(p_ids), jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw),
             self.cfg,
         )
-        stats, assign, p_visible, Tcw = jax.device_get(
-            (fres.stats, fres.assign, fres.p_visible, fres.Tcw)
-        )
+        packed = np.asarray(fres.packed)   # ONE device->host transfer
+        n_feat = q_lm.shape[0]
+        stats = packed[:5]
+        Tcw = packed[5:21].view(np.float32).reshape(4, 4)
+        assign = packed[21: 21 + n_feat]
+        p_visible = packed[21 + n_feat:].astype(bool)
         n_matches, n_in_motion, n_inliers, tracked_close, non_tracked_close = (
             int(x) for x in stats
         )
@@ -357,14 +367,18 @@ class System:
 
     # ---------------- local mapping (synchronous) ----------------
 
+    def _frame_host(self, frame: StereoFrame) -> dict:
+        """Host snapshot of a frame's per-feature arrays, pulled in ONE
+        device->host transfer and cached per frame object."""
+        if self._frame_cache is not None and self._frame_cache[0] is frame:
+            return self._frame_cache[1]
+        snap = unpack_frame_np(np.asarray(pack_frame(frame)), frame.capacity)
+        self._frame_cache = (frame, snap)
+        return snap
+
     def _insert_keyframe(self, frame: StereoFrame, assign: np.ndarray,
                          timestamp: float, run_ba: bool):
-        frame_np = dict(
-            xy=np.asarray(frame.xy), octave=np.asarray(frame.octave),
-            angle=np.asarray(frame.angle), desc=np.asarray(frame.desc),
-            valid=np.asarray(frame.valid), u_right=np.asarray(frame.u_right),
-            depth=np.asarray(frame.depth),
-        )
+        frame_np = self._frame_host(frame)
         word, wweight, node = self.vocabulary.transform(frame.desc)
         kf = self.map.add_keyframe(
             frame_np, self.Tcw, assign, self.frame_id, timestamp,
@@ -642,15 +656,25 @@ class System:
         """Depth-ordered stereo landmark creation (create_new_key_frame,
         Tracking.py:523-576)."""
         lm = self.map.landmarks
-        depth = np.asarray(frame.depth)
-        valid = np.asarray(frame.valid)
-        octave = np.asarray(frame.octave)
-        desc = np.asarray(frame.desc)
+        snap = self._frame_host(frame)
+        depth = snap["depth"]
+        valid = snap["valid"]
+        octave = snap["octave"]
+        desc = snap["desc"]
         assign = (existing.copy() if existing is not None
                   else np.full(frame.capacity, -1, np.int32))
 
         Twc = np.linalg.inv(Tcw)
-        pts_w = np.asarray(unproject(frame, self.cfg, jnp.asarray(Twc, jnp.float32)))
+        # host-side unproject (Frame.unproject_stereo semantics) — the
+        # snapshot already holds everything; no extra device round trip
+        cam = self.cfg.camera
+        z = depth
+        pc = np.stack([
+            (snap["xy"][:, 0] - cam.cx) * z / cam.fx,
+            (snap["xy"][:, 1] - cam.cy) * z / cam.fy,
+            z,
+        ], axis=-1)
+        pts_w = (pc @ Twc[:3, :3].T + Twc[:3, 3]).astype(np.float32)
         Ow = Twc[:3, 3]
 
         cand = np.nonzero((depth > 0) & valid & (assign < 0))[0]

@@ -243,11 +243,14 @@ def local_track_step(
 
 class FusedTrackResult(NamedTuple):
     frame: StereoFrame        # the built frame (stays on device)
-    Tcw: jnp.ndarray          # (4, 4) pose after local-map optimization
-    assign: jnp.ndarray       # (N,) int32 landmark id per feature (-1 none)
-    p_visible: jnp.ndarray    # (P,) bool local point passed the frustum gate
-    stats: jnp.ndarray        # (5,) int32: n_matches, n_inliers_motion,
-    #                           n_inliers_local, tracked_close, non_tracked_close
+    packed: jnp.ndarray       # (5 + 16 + N + P,) int32 — everything the host
+    #   needs, in ONE buffer (each device->host transfer through the remote
+    #   tunnel costs ~30 ms of latency regardless of size):
+    #   [0:5]   stats: n_matches, n_inliers_motion, n_inliers_local,
+    #           tracked_close, non_tracked_close
+    #   [5:21]  Tcw f32 bits (bitcast, row-major)
+    #   [21:21+N]   assign: landmark id per feature (-1 none)
+    #   [21+N:]     p_visible as 0/1 per local-point slot
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "th_base"))
@@ -320,10 +323,13 @@ def fused_track_step(
         res.n_matches, res.n_inliers, lres.n_inliers,
         tracked_close, non_tracked_close,
     ]).astype(jnp.int32)
-    return FusedTrackResult(
-        frame=frame, Tcw=lres.Tcw, assign=assign,
-        p_visible=lres.p_visible, stats=stats,
-    )
+    packed = jnp.concatenate([
+        stats,
+        jax.lax.bitcast_convert_type(lres.Tcw.reshape(-1), jnp.int32),
+        assign,
+        lres.p_visible.astype(jnp.int32),
+    ])
+    return FusedTrackResult(frame=frame, packed=packed)
 
 
 @dataclasses.dataclass
