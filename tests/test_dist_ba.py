@@ -73,3 +73,79 @@ class TestDistributedBA:
         assert (moved > 1e-6).mean() > 0.9  # points actually optimized
         err = np.linalg.norm(np.asarray(pnt_out)[:n_pnt] - pts, axis=1)
         assert np.median(err) < 0.1
+
+
+class TestDistributedPoseGraph:
+    def test_matches_single_device_cg(self, mesh):
+        """Sharded pose graph == single-device CG solver (the psum of
+        per-shard segment sums is the global segment sum)."""
+        from pyorbslam_tpu.geometry import se3
+        from pyorbslam_tpu.optim.pose_graph import optimize_pose_graph_cg
+        from pyorbslam_tpu.parallel import dist_pose_graph
+
+        rng = np.random.default_rng(5)
+        C = 24
+        gt, est = [], []
+        for i in range(C):
+            ang = 2 * np.pi * i / C
+            Rwc = np.asarray(se3.exp_so3(jnp.asarray(
+                np.array([0, ang, 0], np.float32))))
+            Twc = np.eye(4, dtype=np.float32)
+            Twc[:3, :3] = Rwc
+            Twc[:3, 3] = [8 * np.sin(ang), 0, 8 * (1 - np.cos(ang))]
+            gt.append(np.linalg.inv(Twc).astype(np.float32))
+        est = [gt[0]]
+        for i in range(1, C):
+            rel = gt[i] @ np.linalg.inv(gt[i - 1])
+            xi = np.concatenate([
+                rng.normal(0, 0.008, 3), rng.normal(0, 0.04, 3)
+            ]).astype(np.float32)
+            est.append((np.asarray(se3.exp_se3(jnp.asarray(xi))) @ rel
+                        @ est[-1]).astype(np.float32))
+        gt, est = np.stack(gt), np.stack(est)
+
+        e_i, e_j, mR, mt = [], [], [], []
+        for i in range(C - 1):
+            Sji = est[i + 1] @ np.linalg.inv(est[i])
+            e_i.append(i); e_j.append(i + 1)
+            mR.append(Sji[:3, :3]); mt.append(Sji[:3, 3])
+        loop = gt[0] @ np.linalg.inv(gt[C - 1])
+        e_i.append(C - 1); e_j.append(0)
+        mR.append(loop[:3, :3]); mt.append(loop[:3, 3])
+
+        fixed = np.zeros(C, bool); fixed[0] = True
+        e_i = np.array(e_i, np.int32); e_j = np.array(e_j, np.int32)
+        mR = np.stack(mR).astype(np.float32)
+        mt = np.stack(mt).astype(np.float32)
+        ms = np.ones(len(e_i), np.float32)
+        act = np.ones(len(e_i), bool)
+
+        ref = optimize_pose_graph_cg(
+            jnp.asarray(est[:, :3, :3]), jnp.asarray(est[:, :3, 3]),
+            jnp.ones(C, jnp.float32), jnp.asarray(fixed),
+            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(mR),
+            jnp.asarray(mt), jnp.asarray(ms), jnp.asarray(act),
+            cg_iters=128,
+        )
+
+        pe_i, pe_j, pmR, pmt, pms, pact = dist_pose_graph.pad_edges(
+            8, e_i, e_j, mR, mt, ms, act)
+        (reps, shds) = dist_pose_graph.place_pose_graph(
+            mesh,
+            [est[:, :3, :3], est[:, :3, 3],
+             np.ones(C, np.float32), fixed],
+            [pe_i, pe_j, pmR, pmt, pms, pact])
+        res = dist_pose_graph.distributed_pose_graph(
+            mesh, *reps, *shds, cg_iters=128)
+
+        np.testing.assert_allclose(
+            np.asarray(res.t), np.asarray(ref.t), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(res.R), np.asarray(ref.R), atol=5e-3)
+
+        def centers(Rm, tm):
+            return -np.einsum("cij,cj->ci", np.transpose(Rm, (0, 2, 1)), tm)
+
+        c_gt = centers(gt[:, :3, :3], gt[:, :3, 3])
+        c_d = centers(np.asarray(res.R), np.asarray(res.t))
+        assert np.linalg.norm(c_d[C - 1] - c_gt[C - 1]) < 0.25
