@@ -73,6 +73,33 @@ triangulate_batch_jit = jax.jit(
     triangulate_batch, static_argnames=("scale_factor",))
 
 
+def triangulate_batch_packed(*args, **kwargs) -> jnp.ndarray:
+    """:func:`triangulate_batch` with the result packed into one int32
+    buffer (B, 6N): [idx1 N | idx2 N | valid N | pos_w bits 3N] — a single
+    device->host read per keyframe insertion."""
+    r = triangulate_batch(*args, **kwargs)
+    return jnp.concatenate([
+        r.idx1, r.idx2, r.valid.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(r.pos_w, jnp.int32).reshape(
+            r.pos_w.shape[0], -1),
+    ], axis=1)
+
+
+triangulate_batch_packed_jit = jax.jit(
+    triangulate_batch_packed, static_argnames=("scale_factor",))
+
+
+def unpack_tri_batch_np(packed: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Host inverse of :func:`triangulate_batch_packed`:
+    (idx1, idx2, valid, pos_w)."""
+    n = packed.shape[1] // 6
+    return (
+        packed[:, :n], packed[:, n: 2 * n],
+        packed[:, 2 * n: 3 * n].astype(bool),
+        packed[:, 3 * n:].view(np.float32).reshape(packed.shape[0], n, 3),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("scale_factor",))
 def triangulate_pair(
     # KF1 (the new keyframe)

@@ -131,7 +131,7 @@ class LocalMapper:
         padded = (neighbors + [neighbors[0]] * B)[:B]
         realn = len(neighbors)
         sel = np.asarray(padded)
-        batch = tri_ops.triangulate_batch_jit(
+        batch = tri_ops.triangulate_batch_packed_jit(
             jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
             jnp.asarray(ks.kp_desc[kf]), jnp.asarray(ks.u_right[kf]),
             jnp.asarray(ks.depth[kf]), jnp.asarray(free1),
@@ -144,10 +144,9 @@ class LocalMapper:
             cam5, jnp.float32(cam.baseline), sf, s2,
             scale_factor=self.cfg.orb.scale_factor,
         )
-        batch_valid = np.asarray(batch.valid)
-        batch_i1 = np.asarray(batch.idx1)
-        batch_i2 = np.asarray(batch.idx2)
-        batch_pos = np.asarray(batch.pos_w)
+        batch_i1, batch_i2, batch_valid, batch_pos = (
+            tri_ops.unpack_tri_batch_np(np.asarray(batch))  # ONE host read
+        )
         claimed = np.zeros(ks.n_features, bool)  # one new point per feature
         for bi, nb in enumerate(neighbors):
             valid = batch_valid[bi] & ~claimed[np.maximum(batch_i1[bi], 0)]

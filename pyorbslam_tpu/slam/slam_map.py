@@ -28,6 +28,7 @@ import dataclasses
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,17 @@ from pyorbslam_tpu.optim import ba
 from pyorbslam_tpu.slam.mapstore import KeyFrameStore, LandmarkStore
 
 COVIS_TH = 15
+
+
+@jax.jit
+def _pack_ba_result(cam_Tcw, pnt_pos, inlier):
+    """BA write-back in one int32 buffer (one ~30ms tunnel read instead
+    of three): [cam_Tcw bits 16C | pnt_pos bits 3P | inlier O]."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(cam_Tcw, jnp.int32).reshape(-1),
+        jax.lax.bitcast_convert_type(pnt_pos, jnp.int32).reshape(-1),
+        inlier.astype(jnp.int32),
+    ])
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -176,39 +188,56 @@ class SlamMap:
                 self.kill_landmark(lm)
 
     def update_landmark_geometry(self, lm_ids: np.ndarray):
-        """MapPoint.update_normal_and_depth for a batch of landmarks."""
-        for lm in lm_ids:
-            lm = int(lm)
-            obs = self.lm_obs.get(lm)
-            if not obs or not self.landmarks.alive[lm]:
+        """MapPoint.update_normal_and_depth for a batch of landmarks,
+        vectorized: one flat (landmark, keyframe) pair list, then numpy
+        segment sums (np.add.at) — the Python-per-landmark loop was a
+        measurable slice of keyframe-insertion time."""
+        lm = self.landmarks
+        ids, pair_l, pair_k, ref_kf, ref_feat = [], [], [], [], []
+        for l in lm_ids:
+            l = int(l)
+            obs = self.lm_obs.get(l)
+            if not obs or not lm.alive[l]:
                 continue
-            pos = self.landmarks.pos[lm]
-            dirs = []
+            li = len(ids)
+            ids.append(l)
             for kf in obs:
-                Tcw = self.keyframes.Tcw[kf]
-                Ow = -Tcw[:3, :3].T @ Tcw[:3, 3]
-                d = pos - Ow
-                n = np.linalg.norm(d)
-                if n > 1e-6:
-                    dirs.append(d / n)
-            if not dirs:
-                continue
-            normal = np.mean(dirs, axis=0)
-            nn = np.linalg.norm(normal)
-            if nn > 1e-6:
-                self.landmarks.normal[lm] = normal / nn
-            # depth band from the reference (first) observation
-            ref_kf = next(iter(obs))
-            feat = obs[ref_kf]
-            Tcw = self.keyframes.Tcw[ref_kf]
-            Ow = -Tcw[:3, :3].T @ Tcw[:3, 3]
-            dist = np.linalg.norm(pos - Ow)
-            level = int(self.keyframes.kp_octave[ref_kf, feat])
-            sf = self.cfg.orb.scale_factor
-            max_dist = dist * (sf ** level)
-            min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
-            self.landmarks.dmax[lm] = 1.2 * max_dist
-            self.landmarks.dmin[lm] = 0.8 * min_dist
+                pair_l.append(li)
+                pair_k.append(kf)
+            rk = next(iter(obs))
+            ref_kf.append(rk)
+            ref_feat.append(obs[rk])
+        if not ids:
+            return
+        ids = np.asarray(ids)
+        pair_l = np.asarray(pair_l)
+        pair_k = np.asarray(pair_k)
+        pos = lm.pos[ids]
+
+        Tcw = self.keyframes.Tcw[pair_k]
+        Ow = -np.einsum("mji,mj->mi", Tcw[:, :3, :3], Tcw[:, :3, 3])
+        d = pos[pair_l] - Ow
+        n = np.linalg.norm(d, axis=1)
+        ok = n > 1e-6
+        dn = np.where(ok[:, None], d / np.maximum(n, 1e-12)[:, None], 0.0)
+        sums = np.zeros((len(ids), 3), np.float64)
+        np.add.at(sums, pair_l, dn)
+        nn = np.linalg.norm(sums, axis=1)   # mean dir ∝ sum dir
+        upd = nn > 1e-6
+        lm.normal[ids[upd]] = (sums[upd] / nn[upd, None]).astype(np.float32)
+
+        # depth band from the reference (first) observation
+        ref_kf = np.asarray(ref_kf)
+        ref_feat = np.asarray(ref_feat)
+        Tr = self.keyframes.Tcw[ref_kf]
+        Owr = -np.einsum("mji,mj->mi", Tr[:, :3, :3], Tr[:, :3, 3])
+        dist = np.linalg.norm(pos - Owr, axis=1)
+        level = self.keyframes.kp_octave[ref_kf, ref_feat]
+        sf = self.cfg.orb.scale_factor
+        max_dist = dist * sf ** level
+        min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
+        lm.dmax[ids] = 1.2 * max_dist
+        lm.dmin[ids] = 0.8 * min_dist
 
     # ------------- global bundle adjustment -------------
 
@@ -359,14 +388,16 @@ class SlamMap:
         else:
             res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
 
-        new_Tcw = np.asarray(res.cam_Tcw)
+        out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
+                                         res.obs_inlier))
+        new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
         for i in range(n_free):
             if not cam_fixed[i]:
                 self.keyframes.Tcw[cams[i]] = new_Tcw[i]
-        new_pos = np.asarray(res.pnt_pos)
+        new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
         self.landmarks.pos[pnt_ids] = new_pos[: len(pnt_ids)]
 
-        inlier = np.asarray(res.obs_inlier)
+        inlier = out[16 * C + 3 * P:].astype(bool)
         n_erased = 0
         if erase_outliers:
             for o in np.nonzero(~inlier[:n_obs])[0]:
