@@ -37,6 +37,8 @@ def main():
     bench_config = os.environ.get("BENCH_CONFIG", "")
     if bench_config == "pipeline":
         return bench_full_pipeline()
+    if bench_config == "pipeline_window":
+        return bench_full_pipeline(window=int(os.environ.get("BENCH_WINDOW", "8")))
     high_density = bench_config == "highdensity"
     n_features = 8000 if high_density else 2000
 
@@ -178,12 +180,15 @@ def main():
     }))
 
 
-def bench_full_pipeline():
+def bench_full_pipeline(window: int = 0):
     """Full-pipeline frames/s: System.track_stereo with local mapping,
     local BA, and loop closing live (BASELINE config 2).  A first pass
     over the sequence populates every jit cache (the per-frame fused
     step, keyframe machinery, capacity buckets); the timed pass runs a
-    fresh System so the number is steady-state throughput."""
+    fresh System so the number is steady-state throughput.
+
+    window > 0 uses track_stereo_window (W frames per device dispatch,
+    the TPU-native deployment shape; map updates at window granularity)."""
     import jax
 
     from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
@@ -208,15 +213,22 @@ def bench_full_pipeline():
 
     def run():
         sysm = System(cfg)
-        for i in range(n_frames):
-            sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+        if window:
+            for w0 in range(0, n_frames - n_frames % window, window):
+                sysm.track_stereo_window(
+                    seq.left[w0: w0 + window], seq.right[w0: w0 + window],
+                    seq.timestamps[w0: w0 + window])
+        else:
+            for i in range(n_frames):
+                sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
         return sysm
 
     run()                       # compile/warm pass
     t0 = time.time()
     sysm = run()                # timed steady-state pass
     dt = time.time() - t0
-    fps = n_frames / dt
+    n_tracked = (n_frames - n_frames % window) if window else n_frames
+    fps = n_tracked / dt
 
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(baseline_path):
@@ -237,8 +249,9 @@ def bench_full_pipeline():
         "baseline_fps": baseline_fps,
         "baseline_source": baseline_src,
         "config": "1241x376 stereo, 2000 ORB features, 8 levels, "
-                  "tracking + local mapping + local BA + loop closing",
-        "n_frames": n_frames,
+                  "tracking + local mapping + local BA + loop closing"
+                  + (f", window={window}" if window else ""),
+        "n_frames": n_tracked,
         "n_keyframes": int(sysm.map.keyframes.n),
         "device": str(_jax.devices()[0]),
     }))

@@ -39,6 +39,7 @@ from pyorbslam_tpu.slam.frame import (
 from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import (
     fused_track_step,
+    fused_track_window,
     local_track_step,
     motion_track_step,
 )
@@ -114,6 +115,98 @@ class System:
         else:
             self.frame_refs.append((-1, self.Tcw.copy()))
         return self.Tcw
+
+    def track_stereo_window(self, lefts, rights, timestamps) -> np.ndarray:
+        """Track a window of W frames with ONE device dispatch
+        (tracking.fused_track_window): a lax.scan carries features/pose
+        across frames on-chip; keyframe decisions and map updates run on
+        the host AFTER the window from the per-frame packed stats.  The
+        local map is frozen for the window — the same lag the reference's
+        asynchronous LocalMapping thread produces.  Falls back to
+        per-frame tracking until initialized or when any frame in the
+        window tracks weakly.  Returns the W per-frame Tcw poses."""
+        W = len(timestamps)
+
+        def per_frame():
+            return np.stack([
+                self.track_stereo(lefts[i], rights[i], timestamps[i])
+                for i in range(W)
+            ])
+
+        if self.state != "OK" or self.map.keyframes.n == 0:
+            return per_frame()
+
+        lm = self.map.landmarks
+        q_lm = lm.resolve(self.last_assign)
+        local_ids = self._local_point_ids(self.last_assign)
+        cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(local_ids)] = local_ids
+
+        images = jnp.stack([
+            jnp.stack([jnp.asarray(lefts[i], jnp.float32),
+                       jnp.asarray(rights[i], jnp.float32)])
+            for i in range(W)
+        ])
+        Tllw0 = (np.linalg.inv(self.velocity) @ self.Tcw).astype(np.float32)
+        packed, frames = fused_track_window(
+            images, *self._landmark_mirror(), self.last_frame,
+            jnp.asarray(q_lm), jnp.asarray(p_ids),
+            jnp.asarray(self.Tcw), jnp.asarray(Tllw0), self.cfg,
+        )
+        out = np.asarray(packed)          # ONE device->host transfer
+        n_feat = q_lm.shape[0]
+        stats = out[:, :5]
+        weak = (stats[:, 0] < 20) | (stats[:, 1] < 20) | (stats[:, 2] < 10)
+        if weak.any():
+            # correctness fallback: the frames after a weak one tracked
+            # against a bad chain — redo the whole window through the
+            # per-frame state machine (rare)
+            return per_frame()
+
+        poses = []
+        # when a mid-window keyframe's local BA (or a loop closure)
+        # refines the pose, the remaining scan poses — chained off the
+        # uncorrected estimate — get the correction as a relative
+        # transform: T_j' = (T_j · raw_i^-1) · corrected_i
+        base_raw = None
+        base_corr = None
+        for i in range(W):
+            self.frame_id += 1
+            row = out[i]
+            n_inliers = int(row[2])
+            assign = row[21: 21 + n_feat].copy()
+            p_visible = row[21 + n_feat:].astype(bool)
+
+            vis_ids = p_ids[p_visible]
+            vis_ids = vis_ids[vis_ids >= 0]
+            lm.visible[vis_ids] += 1
+            found_ids = np.unique(assign[assign >= 0])
+            found_ids = found_ids[lm.alive[found_ids]]
+            lm.found[found_ids] += 1
+            lm.visible[found_ids] += 1
+
+            self.state = "OK" if n_inliers >= 20 else "MARGINAL"
+            raw = row[5:21].copy().view(np.float32).reshape(4, 4)
+            Tcw_i = raw
+            if base_raw is not None:
+                Tcw_i = raw @ np.linalg.inv(base_raw) @ base_corr
+            self.Tcw = np.ascontiguousarray(Tcw_i, dtype=np.float32)
+            frame_i = jax.tree_util.tree_map(lambda a: a[i], frames)
+            pre_kf_Tcw = self.Tcw.copy()
+            self._finish_track(
+                frame_i, assign, int(row[0]), n_inliers,
+                int(row[3]), int(row[4]), len(local_ids), timestamps[i],
+            )
+            if not np.allclose(self.Tcw, pre_kf_Tcw, atol=1e-7):
+                base_raw = raw.copy()
+                base_corr = self.Tcw.copy()
+            self.trajectory.append(self.Tcw.copy())
+            ref = self.map.keyframes.n - 1
+            Tcr = self.Tcw @ np.linalg.inv(self.map.keyframes.Tcw[ref])
+            self.frame_refs.append((ref, Tcr.astype(np.float32)))
+            poses.append(self.Tcw.copy())
+        return np.stack(poses)
 
     def corrected_trajectory(self) -> np.ndarray:
         """Per-frame Tcw with all keyframe corrections applied."""

@@ -289,7 +289,21 @@ def fused_track_step(
     change; weak results fall back to the step-by-step host path.
     """
     frame = build_stereo_frame(left, right, cfg)
+    packed, _, _ = _fused_track_core(
+        frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+        q_lm, q_angle, q_octave, p_ids, Tcw_pred, Tlw, cfg, th_base,
+    )
+    return FusedTrackResult(frame=frame, packed=packed)
 
+
+def _fused_track_core(
+    frame: StereoFrame,
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+    q_lm, q_angle, q_octave, p_ids, Tcw_pred, Tlw, cfg, th_base=7.0,
+):
+    """Shared device body of the fused per-frame step and the windowed
+    scan: motion-model + local-map tracking against the landmark mirror.
+    Returns (packed result, Tcw, assign)."""
     safe_q = jnp.maximum(q_lm, 0)
     q_active = (q_lm >= 0) & m_alive[safe_q]
     res = motion_track_step.__wrapped__(
@@ -329,7 +343,51 @@ def fused_track_step(
         assign,
         lres.p_visible.astype(jnp.int32),
     ])
-    return FusedTrackResult(frame=frame, packed=packed)
+    return packed, lres.Tcw, assign
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fused_track_window(
+    images: jnp.ndarray,       # (W, 2, H, Wd) stereo pairs
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,   # landmark mirror
+    last_frame: StereoFrame,   # previous frame's features (device)
+    q_lm0: jnp.ndarray,        # (N,) landmark id per last-frame feature
+    p_ids: jnp.ndarray,        # (P,) local-map ids, fixed for the window
+    Tlw0: jnp.ndarray,         # (4, 4) last frame pose
+    Tllw0: jnp.ndarray,        # (4, 4) pose before that (velocity seed)
+    cfg: SlamConfig,
+):
+    """Track a WINDOW of frames in one device program: ``lax.scan``
+    carries (previous features, landmark assignment, pose pair) across
+    frames so the chip streams frame after frame with zero host
+    involvement — the TPU-native deployment shape (SURVEY §2.3
+    "track N frames -> map-update step").
+
+    The local map (mirror + p_ids) is frozen for the window, which
+    matches the reference's real-time semantics: its LocalMapping thread
+    updates the map asynchronously, so tracking there also runs on a
+    map that lags by however long mapping takes.  Keyframe decisions are
+    made by the host AFTER the window from the per-frame packed stats.
+
+    Returns (stacked packed results (W, 21+N+P), stacked frames
+    (StereoFrame with leading W axis)).
+    """
+
+    def body(carry, lr):
+        frame_prev, q_lm, Tlw, Tllw = carry
+        frame = build_stereo_frame(lr[0], lr[1], cfg)
+        vel = Tlw @ se3.inverse(Tllw)
+        packed, Tcw, assign = _fused_track_core(
+            frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+            q_lm, frame_prev.angle, frame_prev.octave, p_ids,
+            vel @ Tlw, Tlw, cfg,
+        )
+        return (frame, assign, Tcw, Tlw), (packed, frame)
+
+    (_, _, _, _), (packed, frames) = jax.lax.scan(
+        body, (last_frame, q_lm0, Tlw0, Tllw0), images
+    )
+    return packed, frames
 
 
 @dataclasses.dataclass

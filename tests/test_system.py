@@ -111,3 +111,36 @@ class TestSystem:
         gt_wc = seq.poses_wc[12]
         err = np.linalg.norm(est_wc[:3, 3] - gt_wc[:3, 3])
         assert err < 0.5, f"pose error after fallback {err:.3f} m"
+
+
+class TestWindowedTracking:
+    def test_window_matches_per_frame_quality(self, data_cache_dir):
+        """track_stereo_window (one dispatch per W frames, map frozen
+        within a window) must land in the same accuracy class as the
+        per-frame path on the same sequence."""
+        seq = generate_sequence(
+            n_frames=28, width=512, height=160, trajectory="straight",
+            speed=0.8, seed=3, cache_dir=data_cache_dir,
+        )
+        cfg = make_cfg(seq)
+
+        sys_pf = System(cfg)
+        for i in range(28):
+            sys_pf.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+
+        sys_w = System(cfg)
+        W = 4
+        for w0 in range(0, 28, W):
+            sys_w.track_stereo_window(
+                seq.left[w0: w0 + W], seq.right[w0: w0 + W],
+                seq.timestamps[w0: w0 + W],
+            )
+        assert len(sys_w.trajectory) == 28
+        est_pf = np.linalg.inv(sys_pf.corrected_trajectory())
+        est_w = np.linalg.inv(sys_w.corrected_trajectory())
+        ate_pf = ate_rmse(est_pf, seq.poses_wc)
+        ate_w = ate_rmse(est_w, seq.poses_wc)
+        # same accuracy class (windowed map staleness <= W-1 frames)
+        assert ate_w < max(2.5 * ate_pf, 0.05), (ate_pf, ate_w)
+        # keyframes were still created inside windows
+        assert sys_w.map.keyframes.n >= 3
