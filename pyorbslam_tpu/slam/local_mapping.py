@@ -186,6 +186,67 @@ class LocalMapper:
 
     FUSE_TARGETS = 8  # fixed vmap width (ring1 top-5 + 3 second-ring)
 
+    def _apply_fuse_matches(self, target_kf: int, p_ids_slot: np.ndarray,
+                            match: np.ndarray) -> int:
+        """Apply one target keyframe's fuse matches (ORBMatcher.fuse
+        semantics): bind where the feature is free, replace-toward-the-
+        better-observed landmark where it's a duplicate.  The common case
+        (free feature, one candidate) is fully vectorized; conflicts —
+        duplicate observations or two landmarks matching the same feature
+        — fall through to the exact sequential path."""
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+
+        slots = np.nonzero(match >= 0)[0]
+        if len(slots) == 0:
+            return 0
+        p_arr = lm.resolve(p_ids_slot[slots])
+        feats = match[slots]
+        ok = (p_arr >= 0) & lm.alive[np.maximum(p_arr, 0)]
+        p_arr, feats = p_arr[ok], feats[ok]
+        if len(p_arr) == 0:
+            return 0
+
+        q_arr = ks.obs_lm[target_kf, feats]
+        dup = (q_arr >= 0) & lm.alive[np.maximum(q_arr, 0)]
+        same = q_arr == p_arr
+        bind = ~dup & ~same
+        # one bind per feature: keep the first, push the rest to the
+        # sequential path (they will see the just-bound landmark there)
+        first = np.zeros(len(feats), bool)
+        first[np.unique(feats, return_index=True)[1]] = True
+        easy = bind & first
+        hard = ~same & ~easy
+
+        bp, bf = p_arr[easy], feats[easy]
+        ks.obs_lm[target_kf, bf] = bp
+        np.add.at(lm.n_obs, bp,
+                  np.where(ks.u_right[target_kf, bf] > 0, 2, 1))
+        lm_obs = m.lm_obs
+        for p, f in zip(bp.tolist(), bf.tolist()):
+            lm_obs[p][target_kf] = f
+        n_fused = len(bp)
+
+        for p, feat in zip(p_arr[hard].tolist(), feats[hard].tolist()):
+            if not lm.alive[p]:
+                continue
+            q = int(ks.obs_lm[target_kf, feat])
+            if q == p:
+                continue
+            if q >= 0 and lm.alive[q]:
+                # duplicate: keep the better-observed landmark
+                if lm.n_obs[p] >= lm.n_obs[q]:
+                    m.replace_landmark(q, p)
+                else:
+                    m.replace_landmark(p, q)
+            else:
+                ks.obs_lm[target_kf, feat] = p
+                lm_obs[p][target_kf] = feat
+                lm.n_obs[p] += 2 if ks.u_right[target_kf, feat] > 0 else 1
+            n_fused += 1
+        return n_fused
+
     def fuse_neighbors(self, kf: int) -> int:
         m = self.map
         ks = m.keyframes
@@ -233,44 +294,18 @@ class LocalMapper:
 
         n_fused = 0
         for ti, target_kf in enumerate(targets):
-            match = matches[ti]
-            for slot in np.nonzero(match >= 0)[0]:
-                p = int(p_ids[slot])
-                feat = int(match[slot])
-                if p < 0 or not lm.alive[p]:
-                    continue
-                p = int(lm.resolve(np.asarray([p]))[0])
-                if p < 0 or not lm.alive[p]:
-                    continue
-                q = int(ks.obs_lm[target_kf, feat])
-                if q == p:
-                    continue
-                if q >= 0 and lm.alive[q]:
-                    # duplicate: keep the better-observed landmark
-                    if lm.n_obs[p] >= lm.n_obs[q]:
-                        m.replace_landmark(q, p)
-                    else:
-                        m.replace_landmark(p, q)
-                else:
-                    ks.obs_lm[target_kf, feat] = p
-                    m.lm_obs[p][target_kf] = feat
-                    lm.n_obs[p] += 2 if ks.u_right[target_kf, feat] > 0 else 1
-                n_fused += 1
+            n_fused += self._apply_fuse_matches(target_kf, p_ids, matches[ti])
 
         # reverse direction: neighbors' points into the current KF
-        nb_pts: List[int] = []
-        seen = set(int(i) for i in cur_pts)
-        for t in targets:
-            ids = lm.resolve(ks.obs_lm[t])
-            for i in ids[ids >= 0]:
-                i = int(i)
-                if i not in seen and lm.alive[i]:
-                    seen.add(i)
-                    nb_pts.append(i)
-        if nb_pts:
+        ids = lm.resolve(ks.obs_lm[np.asarray(targets)].ravel())
+        ids = ids[ids >= 0]
+        ids = np.unique(ids[lm.alive[ids]])
+        nb_pts = ids[~np.isin(ids, cur_pts, assume_unique=False)]
+        nb_pts = nb_pts[: self.cfg.tracking.max_local_points]
+        if len(nb_pts):
             cap2 = bucket(len(nb_pts))
             p_ids2 = np.full(cap2, -1, np.int32)
-            p_ids2[: len(nb_pts)] = np.asarray(nb_pts, np.int32)[:cap2]
+            p_ids2[: len(nb_pts)] = np.asarray(nb_pts, np.int32)
             safe2 = np.maximum(p_ids2, 0)
             match = np.asarray(fuse_match_step(
                 jnp.asarray(lm.pos[safe2]), jnp.asarray(lm.desc[safe2]),
@@ -281,24 +316,7 @@ class LocalMapper:
                 jnp.asarray(ks.kp_valid[kf]), jnp.asarray(ks.u_right[kf]),
                 jnp.asarray(ks.Tcw[kf]), self.cfg,
             ))
-            for slot in np.nonzero(match >= 0)[0]:
-                p = int(p_ids2[slot])
-                feat = int(match[slot])
-                if p < 0 or not lm.alive[p]:
-                    continue
-                q = int(ks.obs_lm[kf, feat])
-                if q == p:
-                    continue
-                if q >= 0 and lm.alive[q]:
-                    if lm.n_obs[p] >= lm.n_obs[q]:
-                        m.replace_landmark(q, p)
-                    else:
-                        m.replace_landmark(p, q)
-                else:
-                    ks.obs_lm[kf, feat] = p
-                    m.lm_obs[p][kf] = feat
-                    lm.n_obs[p] += 2 if ks.u_right[kf, feat] > 0 else 1
-                n_fused += 1
+            n_fused += self._apply_fuse_matches(kf, p_ids2, match)
 
         if n_fused:
             m.update_connections(kf)
