@@ -20,4 +20,17 @@ Design stance (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles of the frontend/BA
+# programs cost 20-40 s through the remote TPU tunnel; the disk cache
+# makes every later process start warm.  Opt out with
+# PYORBSLAM_JAX_CACHE=0 or by pre-setting JAX_COMPILATION_CACHE_DIR.
+if _os.environ.get("PYORBSLAM_JAX_CACHE", "1") == "1":
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"),
+    )
+
 from pyorbslam_tpu.config import SlamConfig, load_settings  # noqa: F401

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--pathToSettings", required=True)
     ap.add_argument("--output", default="CameraTrajectory.txt")
     ap.add_argument("--maxFrames", type=int, default=0)
+    ap.add_argument("--window", type=int, default=0,
+                    help="track W frames per device dispatch "
+                         "(System.track_stereo_window); 0 = per frame")
     args = ap.parse_args()
 
     from pyorbslam_tpu.config import SlamConfig
@@ -47,14 +50,28 @@ def main():
     print(f"tracking {n} frames from {args.pathToSequence}")
 
     t_start = time.time()
-    for i, (left, right, ts) in enumerate(iter_stereo(args.pathToSequence)):
-        if i >= n:
-            break
-        system.track_stereo(left, right, ts)
-        if (i + 1) % 50 == 0:
-            st = system.stats[-1] if system.stats else {}
-            print(f"frame {i + 1}/{n}  state={system.state} "
-                  f"inliers={st.get('inliers', '-')} kfs={system.map.keyframes.n}")
+    if args.window:
+        buf = []
+        for i, (left, right, ts) in enumerate(iter_stereo(args.pathToSequence)):
+            if i >= n:
+                break
+            buf.append((left, right, ts))
+            if len(buf) == args.window:
+                system.track_stereo_window(*map(list, zip(*buf)))
+                buf = []
+                print(f"frame {i + 1}/{n}  state={system.state} "
+                      f"kfs={system.map.keyframes.n}")
+        for left, right, ts in buf:   # tail shorter than one window
+            system.track_stereo(left, right, ts)
+    else:
+        for i, (left, right, ts) in enumerate(iter_stereo(args.pathToSequence)):
+            if i >= n:
+                break
+            system.track_stereo(left, right, ts)
+            if (i + 1) % 50 == 0:
+                st = system.stats[-1] if system.stats else {}
+                print(f"frame {i + 1}/{n}  state={system.state} "
+                      f"inliers={st.get('inliers', '-')} kfs={system.map.keyframes.n}")
     dt = time.time() - t_start
 
     system.save_trajectory_kitti(args.output)
