@@ -32,5 +32,9 @@ if _os.environ.get("PYORBSLAM_JAX_CACHE", "1") == "1":
         _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), ".jax_cache"),
     )
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from pyorbslam_tpu.config import SlamConfig, load_settings  # noqa: F401
