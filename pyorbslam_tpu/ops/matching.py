@@ -115,12 +115,16 @@ def match_by_projection(
     max_dist_th: int = TH_HIGH,
     ratio: Optional[float] = None,   # mfNNratio second-best test (f_p only)
     stereo_gate: bool = True,
+    dist: Optional[jnp.ndarray] = None,  # precomputed (Q, N) Hamming matrix
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (match_idx (Q,) int32 [-1 = none], match_dist (Q,), matched (Q,) bool).
 
     Conflicts (two queries matching one feature) keep the lower distance.
+    Pass ``dist`` to reuse one Hamming matrix across several radius tiers
+    (the matrix is the expensive MXU product; the masks are cheap).
     """
-    dist = ham.hamming_matrix_bits(q_desc_bits, q_pop, f_desc_bits, f_pop)  # (Q, N)
+    if dist is None:
+        dist = ham.hamming_matrix_bits(q_desc_bits, q_pop, f_desc_bits, f_pop)
 
     dx = jnp.abs(f_xy[None, :, 0] - q_u[:, None])
     dy = jnp.abs(f_xy[None, :, 1] - q_v[:, None])
@@ -135,14 +139,17 @@ def match_by_projection(
 
     BIG = 1_000_000
     dist = jnp.where(mask, dist, BIG)
-    order = jnp.argsort(dist, axis=1)
-    best_idx = order[:, 0]
+    # best / second-best via two argmin passes — far cheaper on TPU than
+    # a full row sort of the (Q, N) matrix
+    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(dist, best_idx[:, None], 1)[:, 0]
     matched = best <= max_dist_th
 
     if ratio is not None:
-        second_idx = order[:, 1]
-        second = jnp.take_along_axis(dist, second_idx[:, None], 1)[:, 0]
+        cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
+        dist2 = jnp.where(cols[None, :] == best_idx[:, None], BIG, dist)
+        second_idx = jnp.argmin(dist2, axis=1).astype(jnp.int32)
+        second = jnp.take_along_axis(dist2, second_idx[:, None], 1)[:, 0]
         same_level = jnp.take(f_octave, best_idx) == jnp.take(f_octave, second_idx)
         # reference skips only when best_level == best_level2 and the
         # ratio test fails (ORBMatcher.py:276-279)
@@ -192,10 +199,11 @@ def match_by_bow(
     )
     BIG = 1_000_000
     dist = jnp.where(mask, dist, BIG)
-    order = jnp.argsort(dist, axis=1)
-    best_idx = order[:, 0]
+    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(dist, best_idx[:, None], 1)[:, 0]
-    second = jnp.take_along_axis(dist, order[:, 1:2], 1)[:, 0]
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
+    dist2 = jnp.where(cols[None, :] == best_idx[:, None], BIG, dist)
+    second = jnp.min(dist2, axis=1)
     matched = (best <= max_dist_th) & (
         best.astype(jnp.float32) < ratio * jnp.minimum(second, BIG).astype(jnp.float32)
     )

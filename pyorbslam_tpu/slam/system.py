@@ -60,6 +60,11 @@ class System:
     landmark_capacity: int = 1 << 18
     keyframe_capacity: int = 4096
     ba_every_n_kf: int = 1          # local BA cadence (1 = every KF)
+    # windowed mode: a scanned frame is committed only while its local-map
+    # anchoring stays at least this strong; the rest of the window re-tracks
+    # per-frame (keyframes then refresh the map at full accuracy).  Guards
+    # against the map-feedback drift of committing weakly-anchored poses.
+    window_commit_min_inliers: int = 90
     localization_only: bool = False
     vocabulary: Optional[Vocabulary] = None  # trained lazily if absent
 
@@ -157,12 +162,17 @@ class System:
         out = np.asarray(packed)          # ONE device->host transfer
         n_feat = q_lm.shape[0]
         stats = out[:, :5]
-        weak = (stats[:, 0] < 20) | (stats[:, 1] < 20) | (stats[:, 2] < 10)
-        if weak.any():
-            # correctness fallback: the frames after a weak one tracked
-            # against a bad chain — redo the whole window through the
-            # per-frame state machine (rare)
-            return per_frame()
+        # commit only the prefix of frames that stayed WELL-ANCHORED to the
+        # map (strong local-stage inlier count, healthy motion stage);
+        # everything after the first weakly-anchored frame re-tracks through
+        # the per-frame state machine, which inserts keyframes at full
+        # accuracy.  Committing weakly-anchored scan poses lets new
+        # landmarks inherit their error and the drift feeds back.
+        bad = (
+            (stats[:, 0] < 20) | (stats[:, 1] < 20)
+            | (stats[:, 2] < self.window_commit_min_inliers)
+        )
+        n_ok = int(np.argmax(bad)) if bad.any() else W
 
         poses = []
         # when a mid-window keyframe's local BA (or a loop closure)
@@ -171,7 +181,7 @@ class System:
         # transform: T_j' = (T_j · raw_i^-1) · corrected_i
         base_raw = None
         base_corr = None
-        for i in range(W):
+        for i in range(n_ok):
             self.frame_id += 1
             row = out[i]
             n_inliers = int(row[2])
@@ -206,6 +216,9 @@ class System:
             Tcr = self.Tcw @ np.linalg.inv(self.map.keyframes.Tcw[ref])
             self.frame_refs.append((ref, Tcr.astype(np.float32)))
             poses.append(self.Tcw.copy())
+        for i in range(n_ok, W):
+            poses.append(
+                self.track_stereo(lefts[i], rights[i], timestamps[i]))
         return np.stack(poses)
 
     def corrected_trajectory(self) -> np.ndarray:
@@ -285,7 +298,7 @@ class System:
 
         fres = fused_track_step(
             left, right, *self._landmark_mirror(),
-            jnp.asarray(q_lm), self.last_frame.angle, self.last_frame.octave,
+            jnp.asarray(q_lm), self.last_frame,
             jnp.asarray(p_ids), jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw),
             self.cfg,
         )

@@ -98,6 +98,12 @@ def motion_track_step(
     active = q_active & proj.in_image
     f_free = frame.valid
 
+    # ONE Hamming matrix shared by both radius tiers (the MXU product is
+    # the expensive part; the window masks are cheap elementwise ops)
+    from pyorbslam_tpu.ops import hamming as ham
+
+    dist_qf = ham.hamming_matrix_bits(q_bits, q_pop, frame.desc_bits, f_pop)
+
     def run(th):
         radius = th * scale_factors[q_octave]
         idx, dist, matched = match_ops.match_by_projection(
@@ -105,6 +111,7 @@ def motion_track_step(
             min_lev, max_lev, active,
             frame.xy, frame.octave, frame.u_right, frame.desc_bits, f_pop,
             f_free, max_dist_th=match_ops.TH_HIGH, ratio=None, stereo_gate=True,
+            dist=dist_qf,
         )
         matched = match_ops.rotation_consistency_mask(
             q_angle, frame.angle, jnp.maximum(idx, 0), matched
@@ -263,8 +270,7 @@ def fused_track_step(
     m_dmax: jnp.ndarray,       # (M,)
     m_alive: jnp.ndarray,      # (M,) bool
     q_lm: jnp.ndarray,         # (N,) int32 landmark id per LAST-frame feature
-    q_angle: jnp.ndarray,      # (N,) last-frame keypoint angles (device)
-    q_octave: jnp.ndarray,     # (N,) last-frame octaves (device)
+    last_frame: StereoFrame,   # previous frame's features (device)
     p_ids: jnp.ndarray,        # (P,) int32 local-map landmark ids (-1 pad)
     Tcw_pred: jnp.ndarray,     # (4, 4) velocity prediction
     Tlw: jnp.ndarray,          # (4, 4) last frame pose
@@ -291,7 +297,7 @@ def fused_track_step(
     frame = build_stereo_frame(left, right, cfg)
     packed, _, _ = _fused_track_core(
         frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
-        q_lm, q_angle, q_octave, p_ids, Tcw_pred, Tlw, cfg, th_base,
+        q_lm, last_frame, p_ids, Tcw_pred, Tlw, cfg, th_base,
     )
     return FusedTrackResult(frame=frame, packed=packed)
 
@@ -299,19 +305,35 @@ def fused_track_step(
 def _fused_track_core(
     frame: StereoFrame,
     m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
-    q_lm, q_angle, q_octave, p_ids, Tcw_pred, Tlw, cfg, th_base=7.0,
+    q_lm, frame_prev: StereoFrame, p_ids, Tcw_pred, Tlw, cfg, th_base=7.0,
 ):
     """Shared device body of the fused per-frame step and the windowed
     scan: motion-model + local-map tracking against the landmark mirror.
-    Returns (packed result, Tcw, assign)."""
+    Returns (packed result, Tcw, assign).
+
+    Motion-stage queries are HYBRID: last-frame slots backed by a live
+    landmark use the mirror's BA-refined position + distinctive
+    descriptor; the rest chain visual odometry off the previous frame's
+    stereo unprojection (the reference's temporal-VO-point concept,
+    Tracking.py:612-659, promoted to the mainline path).  This keeps
+    motion tracking alive when the local map is stale — essential for the
+    windowed schedule, whose map is frozen for W frames.
+    """
     safe_q = jnp.maximum(q_lm, 0)
-    q_active = (q_lm >= 0) & m_alive[safe_q]
+    has_lm = (q_lm >= 0) & m_alive[safe_q]
+    q_pos_vo = unproject(frame_prev, cfg, se3.inverse(Tlw))
+    q_pos = jnp.where(has_lm[:, None], m_pos[safe_q], q_pos_vo)
+    q_desc = jnp.where(has_lm[:, None], m_desc[safe_q], frame_prev.desc)
+    q_active = has_lm | (frame_prev.valid & (frame_prev.depth > 0))
     res = motion_track_step.__wrapped__(
-        frame, m_pos[safe_q], m_desc[safe_q], q_angle, q_octave, q_active,
+        frame, q_pos, q_desc, frame_prev.angle, frame_prev.octave, q_active,
         Tcw_pred, Tlw, cfg, th_base,
     )
-    assign1 = jnp.where(res.feat_query >= 0,
-                        q_lm[jnp.maximum(res.feat_query, 0)], -1)
+    # only landmark-backed matches produce map assignments; VO matches
+    # still anchored the pose optimization above
+    fq_safe = jnp.maximum(res.feat_query, 0)
+    assign1 = jnp.where((res.feat_query >= 0) & has_lm[fq_safe],
+                        q_lm[fq_safe], -1)
     ok_motion = res.n_matches >= 20
     Tcw_mid = jnp.where(ok_motion, res.Tcw, Tcw_pred)
 
@@ -325,9 +347,15 @@ def _fused_track_core(
         (p_ids >= 0) & m_alive[safe_p],
         Tcw_mid, cfg,
     )
-    assign = jnp.where(lres.feat_local >= 0,
-                       p_ids[jnp.maximum(lres.feat_local, 0)], assign1)
-    assign = jnp.where(lres.tracked, assign, -1)
+    assign_loc = jnp.where(lres.feat_local >= 0,
+                           p_ids[jnp.maximum(lres.feat_local, 0)], assign1)
+    assign_loc = jnp.where(lres.tracked, assign_loc, -1)
+
+    # a local stage with too few anchors (stale map) must not overrule a
+    # healthy motion/VO pose — keep the motion result in that case
+    use_local = lres.n_inliers >= 10
+    Tcw_fin = jnp.where(use_local, lres.Tcw, Tcw_mid)
+    assign = jnp.where(use_local, assign_loc, assign1)
 
     depth = frame.depth
     close = (depth > 0) & (depth < cfg.camera.depth_threshold) & frame.valid
@@ -339,11 +367,11 @@ def _fused_track_core(
     ]).astype(jnp.int32)
     packed = jnp.concatenate([
         stats,
-        jax.lax.bitcast_convert_type(lres.Tcw.reshape(-1), jnp.int32),
+        jax.lax.bitcast_convert_type(Tcw_fin.reshape(-1), jnp.int32),
         assign,
         lres.p_visible.astype(jnp.int32),
     ])
-    return packed, lres.Tcw, assign
+    return packed, Tcw_fin, assign
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -379,7 +407,7 @@ def fused_track_window(
         vel = Tlw @ se3.inverse(Tllw)
         packed, Tcw, assign = _fused_track_core(
             frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
-            q_lm, frame_prev.angle, frame_prev.octave, p_ids,
+            q_lm, frame_prev, p_ids,
             vel @ Tlw, Tlw, cfg,
         )
         return (frame, assign, Tcw, Tlw), (packed, frame)
