@@ -22,6 +22,31 @@ import numpy as np
 
 
 def main():
+    # The DEFAULT (driver-visible) metric is the FULL pipeline — tracking
+    # + local mapping + local BA + loop closing — in the pipelined
+    # windowed deployment shape (BASELINE config 2), with the
+    # tracking-only scan number attached as an aux field.
+    # BENCH_CONFIG=tracking runs only the motion-tracking scan (config 1);
+    # BENCH_CONFIG=highdensity runs the 4x-features stress config
+    # (config 4); BENCH_CONFIG=pipeline / pipeline_window run the full
+    # pipeline per-frame / sync-windowed.
+    bench_config = os.environ.get("BENCH_CONFIG", "")
+    if bench_config == "":
+        tracking_fps = bench_tracking_scan(emit=False)
+        return bench_full_pipeline(
+            window=int(os.environ.get("BENCH_WINDOW", "8")),
+            pipelined=True, tracking_fps=tracking_fps)
+    if bench_config == "pipeline":
+        return bench_full_pipeline()
+    if bench_config == "pipeline_window":
+        return bench_full_pipeline(window=int(os.environ.get("BENCH_WINDOW", "8")))
+    if bench_config == "pipeline_pipelined":
+        return bench_full_pipeline(
+            window=int(os.environ.get("BENCH_WINDOW", "8")), pipelined=True)
+    return bench_tracking_scan(emit=True)
+
+
+def bench_tracking_scan(emit: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -29,16 +54,7 @@ def main():
     from pyorbslam_tpu.io.synthetic import generate_sequence
     from pyorbslam_tpu.slam.tracking import motion_track_step
 
-    # BENCH_CONFIG=highdensity runs the 4x-features stress config
-    # (BASELINE.json config 4); BENCH_CONFIG=pipeline runs the FULL
-    # pipeline (tracking + local mapping + local BA + loop closing,
-    # BASELINE.json config 2); default is tracking at the reference
-    # operating point (config 1).
     bench_config = os.environ.get("BENCH_CONFIG", "")
-    if bench_config == "pipeline":
-        return bench_full_pipeline()
-    if bench_config == "pipeline_window":
-        return bench_full_pipeline(window=int(os.environ.get("BENCH_WINDOW", "8")))
     high_density = bench_config == "highdensity"
     n_features = 8000 if high_density else 2000
 
@@ -157,6 +173,9 @@ def main():
         total_inliers = int(np.asarray(jnp.stack(inlier_handles)).sum())
     fps = n_tracked / dt
 
+    if not emit:
+        return fps
+
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
@@ -178,24 +197,28 @@ def main():
         "n_frames": n_tracked,
         "device": str(jax.devices()[0]),
     }))
+    return fps
 
 
-def bench_full_pipeline(window: int = 0):
-    """Full-pipeline frames/s: System.track_stereo with local mapping,
-    local BA, and loop closing live (BASELINE config 2).  A first pass
-    over the sequence populates every jit cache (the per-frame fused
-    step, keyframe machinery, capacity buckets); the timed pass runs a
-    fresh System so the number is steady-state throughput.
+def bench_full_pipeline(window: int = 0, pipelined: bool = False,
+                        tracking_fps=None):
+    """Full-pipeline frames/s: tracking + local mapping + local BA +
+    loop closing live (BASELINE config 2).  A first pass over the
+    sequence populates every jit cache (the per-frame fused step,
+    keyframe machinery, capacity buckets); the timed pass runs a fresh
+    System so the number is steady-state throughput.
 
-    window > 0 uses track_stereo_window (W frames per device dispatch,
-    the TPU-native deployment shape; map updates at window granularity)."""
+    window > 0 runs W frames per device dispatch (the TPU-native
+    deployment shape; map updates at window granularity); pipelined=True
+    additionally overlaps the chip's scan of window N+1 with the host's
+    map maintenance for window N (System.window_feed/window_flush)."""
     import jax
 
     from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
     from pyorbslam_tpu.io.synthetic import generate_sequence
     from pyorbslam_tpu.slam.system import System
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "34"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "66"))
     width, height = 1241, 376
     cache = os.path.join(os.path.dirname(__file__), "tests", "_data")
     seq = generate_sequence(
@@ -213,21 +236,29 @@ def bench_full_pipeline(window: int = 0):
 
     def run():
         sysm = System(cfg)
-        if window:
-            for w0 in range(0, n_frames - n_frames % window, window):
+        n = n_frames - (n_frames % window if window else 0)
+        if window and pipelined:
+            for w0 in range(0, n, window):
+                sysm.window_feed(
+                    seq.left[w0: w0 + window], seq.right[w0: w0 + window],
+                    seq.timestamps[w0: w0 + window])
+            sysm.window_flush()
+        elif window:
+            for w0 in range(0, n, window):
                 sysm.track_stereo_window(
                     seq.left[w0: w0 + window], seq.right[w0: w0 + window],
                     seq.timestamps[w0: w0 + window])
         else:
-            for i in range(n_frames):
+            for i in range(n):
                 sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
+        assert len(sysm.trajectory) == n, (len(sysm.trajectory), n)
         return sysm
 
     run()                       # compile/warm pass
     t0 = time.time()
     sysm = run()                # timed steady-state pass
     dt = time.time() - t0
-    n_tracked = (n_frames - n_frames % window) if window else n_frames
+    n_tracked = n_frames - (n_frames % window if window else 0)
     fps = n_tracked / dt
 
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
@@ -239,9 +270,8 @@ def bench_full_pipeline(window: int = 0):
         baseline_fps = 10.0
         baseline_src = "upstream-cpp-estimate"
 
-    import jax as _jax
-
-    print(json.dumps({
+    mode = ("pipelined" if pipelined else "window") if window else "per-frame"
+    rec = {
         "metric": "full_pipeline_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -250,11 +280,14 @@ def bench_full_pipeline(window: int = 0):
         "baseline_source": baseline_src,
         "config": "1241x376 stereo, 2000 ORB features, 8 levels, "
                   "tracking + local mapping + local BA + loop closing"
-                  + (f", window={window}" if window else ""),
+                  + (f", window={window} ({mode})" if window else ""),
         "n_frames": n_tracked,
         "n_keyframes": int(sysm.map.keyframes.n),
-        "device": str(_jax.devices()[0]),
-    }))
+        "device": str(jax.devices()[0]),
+    }
+    if tracking_fps is not None:
+        rec["tracking_only_fps"] = round(tracking_fps, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

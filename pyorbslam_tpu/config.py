@@ -141,16 +141,23 @@ class OrbConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
-    # Frame grid for O(1) radius feature queries (Tracking.py:97-98)
-    grid_rows: int = 48
-    grid_cols: int = 64
-    # Matching / gating constants (ORBMatcher.py:3-5)
+    # Matching thresholds (ORBMatcher.py:3-5).  The reference's 64x48
+    # feature grid and rotation-histogram length are deliberately NOT
+    # knobs here: radius queries run as full masked projections and the
+    # histogram length is a kernel constant (ops/matching.py) — see
+    # PARITY.md.
     th_high: int = 100
     th_low: int = 50
-    histo_length: int = 30
-    # Keyframe policy (Tracking.py:470-520)
+    # Keyframe policy (Tracking.py:470-520): min/max frame gap between
+    # keyframes; max_frames is set from camera fps at runtime
     min_frames: int = 0
-    max_frames: int = 10          # set from fps at runtime
+    max_frames: int = 10
+    # The reference's ASYNC LocalMapping stays busy digesting a new
+    # keyframe for a few frame-times, which throttles insertion via the
+    # bLocalMappingIdle clause (Tracking.py:487,505-519).  The
+    # synchronous schedule models that latency explicitly: the mapper
+    # counts as busy for this many frames after each keyframe.
+    mapper_latency_frames: int = 3
     # Map/landmark capacities (fixed-shape stores)
     max_local_points: int = 8192  # local-map projection set capacity
 

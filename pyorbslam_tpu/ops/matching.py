@@ -220,6 +220,84 @@ def match_by_bow(
     return jnp.where(matched, best_idx, -1), best, matched
 
 
+def sim3_mutual_match(
+    # KF1 (current) side: landmark geometry per feature slot
+    p1_pos: jnp.ndarray,       # (N1, 3) world pos of slot's landmark
+    p1_desc_bits: jnp.ndarray, p1_pop: jnp.ndarray,
+    p1_has: jnp.ndarray,       # (N1,) bool slot carries a live landmark
+    p1_dmin: jnp.ndarray, p1_dmax: jnp.ndarray,
+    already1: jnp.ndarray,     # (N1,) bool already matched (skip)
+    f1_xy: jnp.ndarray, f1_octave: jnp.ndarray,
+    f1_desc_bits: jnp.ndarray, f1_pop: jnp.ndarray, f1_valid: jnp.ndarray,
+    # KF2 (loop candidate) side
+    p2_pos: jnp.ndarray, p2_desc_bits: jnp.ndarray, p2_pop: jnp.ndarray,
+    p2_has: jnp.ndarray, p2_dmin: jnp.ndarray, p2_dmax: jnp.ndarray,
+    already2: jnp.ndarray,
+    f2_xy: jnp.ndarray, f2_octave: jnp.ndarray,
+    f2_desc_bits: jnp.ndarray, f2_pop: jnp.ndarray, f2_valid: jnp.ndarray,
+    # geometry
+    T1w: jnp.ndarray, T2w: jnp.ndarray,        # (4, 4) KF poses
+    R12: jnp.ndarray, t12: jnp.ndarray, s12: jnp.ndarray,  # Sim3 cam2->cam1
+    cam4: jnp.ndarray,         # [fx, fy, cx, cy]
+    bounds: jnp.ndarray,       # [min_x, max_x, min_y, max_y]
+    scale_factors: jnp.ndarray,
+    log_scale_factor: float, n_levels: int,
+    th: float = 7.5,
+) -> jnp.ndarray:
+    """ORBMatcher.search_by_sim3 (ORBMatcher.py:713-848): grow loop
+    correspondences by projecting each keyframe's landmarks into the
+    other with the candidate Sim3, keeping only MUTUALLY consistent
+    pairs.  Radius th * scale[predicted level], level window
+    [pred-1, pred], TH_HIGH cut, distance-invariance band gate.
+
+    Returns (N1,) int32: KF2 feature index per KF1 feature slot (-1)."""
+
+    def project(Pc):
+        z = Pc[:, 2]
+        invz = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = cam4[0] * Pc[:, 0] * invz + cam4[2]
+        v = cam4[1] * Pc[:, 1] * invz + cam4[3]
+        ok = (z > 0) & (u >= bounds[0]) & (u <= bounds[1]) \
+            & (v >= bounds[2]) & (v <= bounds[3])
+        return u, v, ok
+
+    def direction(p_pos, p_bits, p_pop, p_has, p_dmin, p_dmax, already,
+                  Tsw, to_other, f_xy, f_oct, f_bits, f_pop, f_valid):
+        Pc_own = p_pos @ Tsw[:3, :3].T + Tsw[:3, 3]
+        Pc = to_other(Pc_own)
+        u, v, in_img = project(Pc)
+        dist = jnp.linalg.norm(Pc, axis=-1)
+        pred = predict_scale(dist, p_dmax / 1.2, log_scale_factor, n_levels)
+        radius = th * scale_factors[pred]
+        active = (
+            p_has & ~already & in_img
+            & (dist >= p_dmin) & (dist <= p_dmax)
+        )
+        idx, _, matched = match_by_projection(
+            u, v, jnp.full_like(u, -1.0), p_bits, p_pop, radius,
+            pred - 1, pred, active,
+            f_xy, f_oct, jnp.full((f_xy.shape[0],), -1.0, jnp.float32),
+            f_bits, f_pop, f_valid,
+            max_dist_th=TH_HIGH, ratio=None, stereo_gate=False,
+        )
+        return jnp.where(matched, idx, -1)
+
+    # cam2 = (1/s) R12^T (cam1 - t12);  cam1 = s R12 cam2 + t12
+    m12 = direction(
+        p1_pos, p1_desc_bits, p1_pop, p1_has, p1_dmin, p1_dmax, already1,
+        T1w, lambda P: ((P - t12) @ R12) / s12,
+        f2_xy, f2_octave, f2_desc_bits, f2_pop, f2_valid,
+    )
+    m21 = direction(
+        p2_pos, p2_desc_bits, p2_pop, p2_has, p2_dmin, p2_dmax, already2,
+        T2w, lambda P: (P @ R12.T) * s12 + t12,
+        f1_xy, f1_octave, f1_desc_bits, f1_pop, f1_valid,
+    )
+    i1 = jnp.arange(m12.shape[0], dtype=jnp.int32)
+    mutual = (m12 >= 0) & (m21[jnp.maximum(m12, 0)] == i1)
+    return jnp.where(mutual, m12, -1)
+
+
 def rotation_consistency_mask(
     q_angle: jnp.ndarray, f_angle: jnp.ndarray, match_idx: jnp.ndarray,
     matched: jnp.ndarray, apply_ratio_cut: bool = True,

@@ -38,11 +38,15 @@ def _fuse_match_one(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
     f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,
     Tcw, cfg: SlamConfig, radius_mult: float = 3.0,
+    level_hi: int = 1, stereo_gate: bool = True,
 ):
     """Project candidate landmarks into a keyframe and find the feature
     each one fuses with (radius radius_mult*scale[predicted level], TH_LOW;
     3.0 for neighbor fuse per fuse_pkf_mp, 4.0 for loop fuse per
-    fuse_kf_scw_mp, ORBMatcher.py:395,482)."""
+    fuse_kf_scw_mp, ORBMatcher.py:395,482).  With level_hi=0 and
+    stereo_gate=False this is search_by_projection_ckf_scw_mp
+    (ORBMatcher.py:850-923, th=10): the loop-points-into-current-KF
+    growth pass counted toward the >= 40 acceptance."""
     cam = jnp.asarray([cfg.camera.fx, cfg.camera.fy, cfg.camera.cx,
                        cfg.camera.cy, cfg.camera.bf], jnp.float32)
     bounds = jnp.asarray([0.0, cfg.camera.width - 1.0, 0.0,
@@ -62,23 +66,27 @@ def _fuse_match_one(
     idx, dist, matched = match_ops.match_by_projection(
         proj.u, proj.v, proj.ur,
         unpack_bits(p_desc), popcount(p_desc), radius,
-        pred - 1, pred + 1, active,
+        pred - 1, pred + level_hi, active,
         f_xy, f_octave, f_u_right, unpack_bits(f_desc), popcount(f_desc),
-        f_valid, max_dist_th=match_ops.TH_LOW, ratio=None, stereo_gate=True,
+        f_valid, max_dist_th=match_ops.TH_LOW, ratio=None,
+        stereo_gate=stereo_gate,
     )
     return jnp.where(matched, idx, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "radius_mult", "level_hi", "stereo_gate"))
 def fuse_match_step(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
     f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,
     Tcw, cfg: SlamConfig, radius_mult: float = 3.0,
+    level_hi: int = 1, stereo_gate: bool = True,
 ):
     return _fuse_match_one(
         p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
         f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw, cfg,
-        radius_mult)
+        radius_mult, level_hi, stereo_gate)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
@@ -168,15 +176,8 @@ class LocalMapper:
                 ks.kp_octave[kf, i1], self.cfg.orb.scale_factor,
                 self.cfg.orb.n_levels, ref_kf=kf,
             )
-            for a, b, p in zip(i1, i2, ids):
-                p = int(p)
-                ks.obs_lm[kf, a] = p
-                ks.obs_lm[nb, b] = p
-                m.lm_obs[p][kf] = int(a)
-                m.lm_obs[p][nb] = int(b)
-                stereo_bonus = (1 if ks.u_right[kf, a] > 0 else 0) + (
-                    1 if ks.u_right[nb, b] > 0 else 0)
-                lm.n_obs[p] = 2 + stereo_bonus
+            m.core.add_observations(ids, kf, i1)
+            m.core.add_observations(ids, nb, i2)
             n_new += len(ids)
         if n_new:
             m.update_connections(kf)
@@ -220,12 +221,7 @@ class LocalMapper:
         hard = ~same & ~easy
 
         bp, bf = p_arr[easy], feats[easy]
-        ks.obs_lm[target_kf, bf] = bp
-        np.add.at(lm.n_obs, bp,
-                  np.where(ks.u_right[target_kf, bf] > 0, 2, 1))
-        lm_obs = m.lm_obs
-        for p, f in zip(bp.tolist(), bf.tolist()):
-            lm_obs[p][target_kf] = f
+        m.core.add_observations(bp, target_kf, bf)
         n_fused = len(bp)
 
         for p, feat in zip(p_arr[hard].tolist(), feats[hard].tolist()):
@@ -241,9 +237,7 @@ class LocalMapper:
                 else:
                     m.replace_landmark(p, q)
             else:
-                ks.obs_lm[target_kf, feat] = p
-                lm_obs[p][target_kf] = feat
-                lm.n_obs[p] += 2 if ks.u_right[target_kf, feat] > 0 else 1
+                m.core.add_observation(p, target_kf, feat)
             n_fused += 1
         return n_fused
 
@@ -328,33 +322,13 @@ class LocalMapper:
     def cull_keyframes(self, kf: int, on_removed=None) -> int:
         m = self.map
         ks = m.keyframes
-        lm = m.landmarks
         n_culled = 0
         for cand in m.covisible_neighbors(kf):
             if cand == 0 or not ks.alive[cand]:
                 continue
-            obs = ks.obs_lm[cand]
-            feats = np.nonzero(obs >= 0)[0]
-            if len(feats) < 30:
+            if (ks.obs_lm[cand] >= 0).sum() < 30:
                 continue
-            n_redundant = 0
-            n_pts = 0
-            for f in feats:
-                p = int(obs[f])
-                if not lm.alive[p]:
-                    continue
-                n_pts += 1
-                level = ks.kp_octave[cand, f]
-                better = 0
-                for k2, f2 in m.lm_obs[p].items():
-                    if k2 == cand:
-                        continue
-                    if ks.kp_octave[k2, f2] <= level + 1:
-                        better += 1
-                        if better >= 3:
-                            break
-                if better >= 3:
-                    n_redundant += 1
+            n_pts, n_redundant = m.core.redundancy(cand)
             if n_pts > 0 and n_redundant > 0.9 * n_pts:
                 self._remove_keyframe(cand)
                 if on_removed is not None:
@@ -368,19 +342,20 @@ class LocalMapper:
         erase observations, reconnect covisibility, reparent children."""
         m = self.map
         ks = m.keyframes
-        obs = ks.obs_lm[kf]
-        for f in np.nonzero(obs >= 0)[0]:
-            m.erase_observation(int(obs[f]), kf)
-        for other in list(m.covis.get(kf, {})):
-            m.covis[other].pop(kf, None)
-        m.covis.pop(kf, None)
+        m.core.remove_keyframe(kf)
         parent = m.parent.get(kf)
+        # freeze the relative pose to the (live) parent so frames whose
+        # reference KF this was stay exportable after later corrections
+        # (KeyFrame.mTcp, KeyFrame.py:411; consumed by map.resolve_ref)
+        anchor = parent if parent is not None else 0
+        Tcp = (ks.Tcw[kf] @ np.linalg.inv(ks.Tcw[anchor])).astype(np.float32)
+        m.dead_anchor[kf] = (anchor, Tcp)
         for child in list(m.children.get(kf, ())):
             new_parent = parent if parent is not None else 0
             m.parent[child] = new_parent
-            m.children[new_parent].add(child)
+            m.children.setdefault(new_parent, set()).add(child)
         m.children.pop(kf, None)
         if parent is not None:
-            m.children[parent].discard(kf)
+            m.children.get(parent, set()).discard(kf)
             m.parent.pop(kf, None)
         ks.alive[kf] = False

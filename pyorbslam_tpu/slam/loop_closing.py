@@ -43,6 +43,11 @@ from pyorbslam_tpu.place.vocabulary import Vocabulary
 from pyorbslam_tpu.slam.slam_map import SlamMap
 
 
+_sim3_mutual_match_jit = functools.partial(
+    jax.jit, static_argnames=("log_scale_factor", "n_levels", "th")
+)(match_ops.sim3_mutual_match)
+
+
 def _sim3_from_T(T: np.ndarray) -> Tuple[np.ndarray, np.ndarray, float]:
     return T[:3, :3].copy(), T[:3, 3].copy(), 1.0
 
@@ -127,23 +132,18 @@ class LoopCloser:
         cur_node = jnp.asarray(ks.kp_node[kf])
         cur_lm = lm.resolve(ks.obs_lm[kf])
 
-        def stereo_points_cam(k2, feats):
-            """Camera-frame 3-D from stereo depth (no landmark needed)."""
-            z = ks.depth[k2, feats]
-            x = (ks.kp_xy[k2, feats, 0] - cam.cx) * z / cam.fx
-            y = (ks.kp_xy[k2, feats, 1] - cam.cy) * z / cam.fy
-            return np.stack([x, y, z], axis=1).astype(np.float32)
-
         for cand in candidates:
             cand_desc = jnp.asarray(ks.kp_desc[cand])
             cand_lm = lm.resolve(ks.obs_lm[cand])
-            # the Sim3 stage only needs 3-D/3-D pairs: stereo depth gives
-            # camera-frame geometry for every feature, so matching is not
-            # throttled by landmark coverage (the landmark requirement of
-            # search_by_BoW_kf_kf only mattered because the reference had
-            # no other 3-D source per feature)
-            cur_ok = ks.kp_valid[kf] & (ks.depth[kf] > 0)
-            cand_ok = ks.kp_valid[cand] & (ks.depth[cand] > 0)
+            # search_by_BoW_kf_kf (ORBMatcher.py:120-213): match features
+            # that carry LIVE LANDMARKS on both sides; the Sim3 geometry
+            # uses the landmark positions mapped into each camera
+            # (Sim3Solver.__init__, Sim3Solver.py:27-56) — multi-view
+            # refined points, not raw single-view stereo depths
+            cur_ok = ks.kp_valid[kf] & (cur_lm >= 0) \
+                & lm.alive[np.maximum(cur_lm, 0)]
+            cand_ok = ks.kp_valid[cand] & (cand_lm >= 0) \
+                & lm.alive[np.maximum(cand_lm, 0)]
             idx, dist, matched = match_ops.match_by_bow(
                 cur_bits, cur_pop, cur_node, jnp.asarray(cur_ok),
                 unpack_bits(cand_desc), popcount(cand_desc),
@@ -157,9 +157,12 @@ class LoopCloser:
             if len(qi) < 20:
                 continue
 
-            X1c = stereo_points_cam(kf, qi)
-            X2c = stereo_points_cam(cand, fi)
-            lm2 = cand_lm[fi]
+            T1, T2 = ks.Tcw[kf], ks.Tcw[cand]
+            L1 = cur_lm[qi]
+            L2 = cand_lm[fi]
+            X1c = (lm.pos[L1] @ T1[:3, :3].T + T1[:3, 3]).astype(np.float32)
+            X2c = (lm.pos[L2] @ T2[:3, :3].T + T2[:3, 3]).astype(np.float32)
+            lm2 = L2
             uv1 = ks.kp_xy[kf, qi]
             uv2 = ks.kp_xy[cand, fi]
             s2_1 = sigma2[ks.kp_octave[kf, qi]]
@@ -175,12 +178,58 @@ class LoopCloser:
             if not bool(res.ok):
                 continue
 
+            # grow correspondences by MUTUAL Sim3 projection between the
+            # two keyframes (ORBMatcher.search_by_sim3, th=7.5) seeded
+            # with the RANSAC estimate, then refine the Sim3 over the
+            # combined set (LoopClosing.py:203-210)
+            inl = np.asarray(res.inliers)
+            seed_q = qi[inl]
+            seed_f = fi[inl]
+            grown12 = self._search_by_sim3(
+                kf, cand, np.asarray(res.R), np.asarray(res.t),
+                float(res.s), seed_q, seed_f)
+
+            N = ks.obs_lm.shape[1]
+            pair_f = np.full(N, -1, np.int32)
+            active = np.zeros(N, bool)
+            X1 = np.zeros((N, 3), np.float32)
+            X2 = np.zeros((N, 3), np.float32)
+            uv1f = np.zeros((N, 2), np.float32)
+            uv2f = np.zeros((N, 2), np.float32)
+            isig1 = np.ones(N, np.float32)
+            isig2 = np.ones(N, np.float32)
+            # RANSAC-inlier BoW pairs keep their stereo-depth geometry
+            active[seed_q] = True
+            pair_f[seed_q] = seed_f
+            X1[seed_q] = X1c[inl]
+            X2[seed_q] = X2c[inl]
+            uv1f[seed_q] = uv1[inl]
+            uv2f[seed_q] = uv2[inl]
+            isig1[seed_q] = 1.0 / s2_1[inl]
+            isig2[seed_q] = 1.0 / s2_2[inl]
+            # mutually-grown pairs use their landmark positions mapped
+            # into each camera (Optimizer.optimize_sim3 edge geometry)
+            g1 = np.nonzero(grown12 >= 0)[0]
+            if len(g1):
+                g2 = grown12[g1]
+                L1 = lm.resolve(ks.obs_lm[kf])[g1]
+                L2 = lm.resolve(ks.obs_lm[cand])[g2]
+                T1, T2 = ks.Tcw[kf], ks.Tcw[cand]
+                active[g1] = True
+                pair_f[g1] = g2
+                X1[g1] = lm.pos[L1] @ T1[:3, :3].T + T1[:3, 3]
+                X2[g1] = lm.pos[L2] @ T2[:3, :3].T + T2[:3, 3]
+                uv1f[g1] = ks.kp_xy[kf, g1]
+                uv2f[g1] = ks.kp_xy[cand, g2]
+                isig1[g1] = 1.0 / sigma2[ks.kp_octave[kf, g1]]
+                isig2[g1] = 1.0 / sigma2[ks.kp_octave[cand, g2]]
+
             opt = optimize_sim3(
                 res.R, res.t, res.s,
-                jnp.asarray(X1c), jnp.asarray(X2c),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(1.0 / s2_1), jnp.asarray(1.0 / s2_2),
-                res.inliers, cam4, th2=10.0, fix_scale=True,
+                jnp.asarray(X1), jnp.asarray(X2),
+                jnp.asarray(uv1f), jnp.asarray(uv2f),
+                jnp.asarray(isig1), jnp.asarray(isig2),
+                jnp.asarray(active), cam4, th2=10.0, fix_scale=True,
             )
             if int(opt.n_inliers) < 20:
                 continue
@@ -190,35 +239,130 @@ class LoopCloser:
             Smw = _sim3_from_T(ks.Tcw[cand])
             Scw = _sim3_mul(Scm, Smw)
 
-            # project loop-region point cloud with Scw; require >= 40 total
-            region = [cand] + self.map.covisible_neighbors(cand, 10)
-            pts: Set[int] = set()
-            for k2 in region:
-                ids = lm.resolve(ks.obs_lm[k2])
-                pts.update(int(i) for i in ids[ids >= 0] if lm.alive[i])
-            pts.discard(-1)
-            pt_ids = np.fromiter(pts, np.int32)
-            if len(pt_ids) == 0:
-                continue
-            Pc = _sim3_map(Scw, lm.pos[pt_ids])
-            z = Pc[:, 2]
-            u = cam.fx * Pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
-            v = cam.fy * Pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
-            vis = (z > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
-            n_proj = int(vis.sum())
-            total = int(opt.n_inliers) + min(n_proj, 200) // 5  # proxy for
-            # the reference's per-point fuse count; a full fuse pass happens
-            # in correct()
-            if int(opt.n_inliers) >= 20 and n_proj >= 40:
-                # loop-landmark bindings only where the candidate feature
-                # actually carries a live landmark
-                match_map = {
-                    int(q): int(l2) for q, l2, keep in
-                    zip(qi, lm2, np.asarray(opt.inliers))
-                    if keep and l2 >= 0 and lm.alive[l2]
-                }
+            # surviving pairs whose candidate feature carries a live
+            # landmark become loop-landmark bindings
+            opt_inl = np.asarray(opt.inliers)
+            match_map = {}
+            for q in np.nonzero(opt_inl & (pair_f >= 0))[0]:
+                l2 = int(cand_lm[pair_f[q]])
+                if l2 >= 0 and lm.alive[l2]:
+                    match_map[int(q)] = l2
+
+            # second projection pass (LoopClosing.py:236-247): project the
+            # loop-region point cloud into the current KF with Scw
+            # (search_by_projection_ckf_scw_mp, th=10, TH_LOW) and count
+            # total MATCHES — the reference accepts at >= 40 matches
+            n_total = len(match_map) + self._project_loop_points(
+                kf, cand, Scw, match_map)
+            if n_total >= 40:
                 return cand, Scw, match_map
         return None
+
+    def _search_by_sim3(self, kf: int, cand: int, R12, t12, s12,
+                        seed_q: np.ndarray, seed_f: np.ndarray) -> np.ndarray:
+        """Mutual Sim3 projection matching between two keyframes
+        (ORBMatcher.search_by_sim3:713-848).  Returns per-current-feature
+        candidate-feature index (-1 = no mutual match)."""
+        ks = self.map.keyframes
+        lm = self.map.landmarks
+        cam = self.cfg.camera
+        cam4 = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+        bounds = jnp.asarray(
+            [0.0, cam.width - 1.0, 0.0, cam.height - 1.0], jnp.float32)
+
+        def side(k):
+            ids = lm.resolve(ks.obs_lm[k])
+            has = (ids >= 0) & lm.alive[np.maximum(ids, 0)]
+            safe = np.maximum(ids, 0)
+            desc = jnp.asarray(lm.desc[safe])
+            return dict(
+                p_pos=jnp.asarray(lm.pos[safe]),
+                p_bits=unpack_bits(desc), p_pop=popcount(desc),
+                p_has=jnp.asarray(has),
+                p_dmin=jnp.asarray(lm.dmin[safe]),
+                p_dmax=jnp.asarray(lm.dmax[safe]),
+                f_xy=jnp.asarray(ks.kp_xy[k]),
+                f_oct=jnp.asarray(ks.kp_octave[k]),
+                f_bits=unpack_bits(jnp.asarray(ks.kp_desc[k])),
+                f_pop=popcount(jnp.asarray(ks.kp_desc[k])),
+                f_valid=jnp.asarray(ks.kp_valid[k]),
+            )
+
+        s1, s2 = side(kf), side(cand)
+        N = ks.obs_lm.shape[1]
+        already1 = np.zeros(N, bool)
+        already1[seed_q] = True
+        already2 = np.zeros(N, bool)
+        already2[seed_f] = True
+
+        out = _sim3_mutual_match_jit(
+            s1["p_pos"], s1["p_bits"], s1["p_pop"], s1["p_has"],
+            s1["p_dmin"], s1["p_dmax"], jnp.asarray(already1),
+            s1["f_xy"], s1["f_oct"], s1["f_bits"], s1["f_pop"], s1["f_valid"],
+            s2["p_pos"], s2["p_bits"], s2["p_pop"], s2["p_has"],
+            s2["p_dmin"], s2["p_dmax"], jnp.asarray(already2),
+            s2["f_xy"], s2["f_oct"], s2["f_bits"], s2["f_pop"], s2["f_valid"],
+            jnp.asarray(ks.Tcw[kf]), jnp.asarray(ks.Tcw[cand]),
+            jnp.asarray(R12, jnp.float32), jnp.asarray(t12, jnp.float32),
+            jnp.asarray(np.float32(s12)),
+            cam4, bounds,
+            jnp.asarray(self.cfg.orb.scale_factors, jnp.float32),
+            log_scale_factor=float(np.log(self.cfg.orb.scale_factor)),
+            n_levels=self.cfg.orb.n_levels,
+        )
+        return np.asarray(out)
+
+    def _project_loop_points(self, kf: int, cand: int, Scw,
+                             match_map: Dict[int, int]) -> int:
+        """search_by_projection_ckf_scw_mp (ORBMatcher.py:850-923): project
+        the loop-region landmarks into the current keyframe with Scw
+        (th=10, TH_LOW, level window [pred-1, pred]) and bind new matches
+        into ``match_map`` (mutated).  Returns the number added."""
+        from pyorbslam_tpu.slam.local_mapping import fuse_match_step
+
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+        region = [cand] + m.covisible_neighbors(cand, 10)
+        pts: Set[int] = set()
+        for k2 in region:
+            ids = lm.resolve(ks.obs_lm[k2])
+            pts.update(int(i) for i in ids[ids >= 0] if lm.alive[i])
+        pts -= set(match_map.values())
+        if not pts:
+            return 0
+        loop_ids = np.fromiter(pts, np.int32)
+        cap = 1024
+        while cap < len(loop_ids) and cap < self.cfg.tracking.max_local_points:
+            cap *= 2
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: min(len(loop_ids), cap)] = loop_ids[:cap]
+        safe = np.maximum(p_ids, 0)
+
+        R, t, s = Scw
+        Tcw_eq = np.eye(4, dtype=np.float32)   # Scw as SE3 [R | t/s]
+        Tcw_eq[:3, :3] = R
+        Tcw_eq[:3, 3] = t / s
+        f_free = ks.kp_valid[kf].copy()
+        f_free[list(match_map)] = False
+        match = np.asarray(fuse_match_step(
+            jnp.asarray(lm.pos[safe]), jnp.asarray(lm.desc[safe]),
+            jnp.asarray(lm.normal[safe]), jnp.asarray(lm.dmin[safe]),
+            jnp.asarray(lm.dmax[safe]), jnp.asarray(p_ids >= 0),
+            jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
+            jnp.asarray(ks.kp_angle[kf]), jnp.asarray(ks.kp_desc[kf]),
+            jnp.asarray(f_free), jnp.asarray(ks.u_right[kf]),
+            jnp.asarray(Tcw_eq), self.cfg, radius_mult=10.0,
+            level_hi=0, stereo_gate=False,
+        ))
+        n_added = 0
+        for slot in np.nonzero(match >= 0)[0]:
+            feat = int(match[slot])
+            if feat in match_map:
+                continue
+            match_map[feat] = int(p_ids[slot])
+            n_added += 1
+        return n_added
 
     # ------------------------------ correction ------------------------------
 
@@ -267,14 +411,14 @@ class LoopCloser:
             if cur_lm >= 0 and cur_lm != loop_lm and lm.alive[loop_lm]:
                 m.replace_landmark(cur_lm, loop_lm)
             elif cur_lm < 0 and lm.alive[loop_lm]:
-                ks.obs_lm[kf, feat] = loop_lm
-                m.lm_obs[loop_lm][kf] = feat
+                m.core.add_observation(loop_lm, kf, feat)
 
         # SearchAndFuse (LoopClosing.py:352-367): project the loop-region
         # landmarks into every corrected keyframe with a 4*scale radius and
         # merge duplicates — the loop landmark always wins (the reference
         # replaces toward mvpLoopMapPoints)
-        prev_neighbors = {ki: set(m.covis.get(ki, {})) for ki in cur_group}
+        prev_neighbors = {ki: set(m.covisible_neighbors(ki))
+                          for ki in cur_group}
         self._search_and_fuse(cur_group, loop_kf)
 
         # refresh covisibility for the corrected group
@@ -286,7 +430,8 @@ class LoopCloser:
         loop_connections: Dict[int, Set[int]] = {}
         group_set = set(cur_group)
         for ki in cur_group:
-            fresh = set(m.covis.get(ki, {})) - prev_neighbors[ki] - group_set
+            fresh = set(m.covisible_neighbors(ki)) - prev_neighbors[ki] \
+                - group_set
             if fresh:
                 loop_connections[ki] = fresh
 
@@ -322,7 +467,7 @@ class LoopCloser:
         # minFeat=100 strength cut is applied by the covisibility weight)
         for ki, partners in loop_connections.items():
             for kj in partners:
-                if m.covis.get(ki, {}).get(kj, 0) >= 100 or kj == loop_kf:
+                if m.covis_weight(ki, kj) >= 100 or kj == loop_kf:
                     add_edge(ki, kj)
         # spanning tree edges with pre-correction measurements
         for ki in range(1, C):
@@ -332,12 +477,11 @@ class LoopCloser:
                 Sj = non_corrected.get(parent, _sim3_from_T(ks.Tcw[parent]))
                 add_edge(ki, parent, Si, Sj)
         # strong covisibles (weight >= 100) with pre-correction measurements
-        for ki in range(C):
-            for kj, w in m.covis.get(ki, {}).items():
-                if kj < ki and w >= 100:
-                    Si = non_corrected.get(ki, _sim3_from_T(ks.Tcw[ki]))
-                    Sj = non_corrected.get(kj, _sim3_from_T(ks.Tcw[kj]))
-                    add_edge(ki, kj, Si, Sj)
+        ca, cb, cw = m.core.covis_edges()
+        for ki, kj in zip(cb[cw >= 100].tolist(), ca[cw >= 100].tolist()):
+            Si = non_corrected.get(ki, _sim3_from_T(ks.Tcw[ki]))
+            Sj = non_corrected.get(kj, _sim3_from_T(ks.Tcw[kj]))
+            add_edge(ki, kj, Si, Sj)
         # previous loop edges
         for ki, partners in m.loop_edges.items():
             for kj in partners:
@@ -369,24 +513,31 @@ class LoopCloser:
             news = np.asarray(res.s)
 
             # landmark correction through reference keyframes
-            old_Siw = {ki: _sim3_from_T(ks.Tcw[ki]) for ki in range(C)}
-            for p, obs in list(m.lm_obs.items()):
-                if not lm.alive[p] or not obs:
-                    continue
-                ref = next(iter(obs))
-                Srw = old_Siw[ref]
-                Scorr = (newR[ref], newt[ref], float(news[ref]))
-                lm.pos[p] = _sim3_map(
-                    _sim3_inv(Scorr), _sim3_map(Srw, lm.pos[p][None])
-                )[0]
+            # (Optimizer.py:643-658), vectorized: map each landmark into
+            # its first observer's OLD camera frame, then out through the
+            # corrected inverse Sim3
+            ids = m.core.observed_landmarks(lm.n)
+            if len(ids):
+                ref, _ = m.core.first_observers(ids)
+                ok = ref >= 0
+                ids, ref = ids[ok], ref[ok]
+                P = lm.pos[ids]
+                R_old = ks.Tcw[ref, :3, :3]
+                t_old = ks.Tcw[ref, :3, 3]
+                Pc = np.einsum("mij,mj->mi", R_old, P) + t_old
+                Rc = newR[ref]
+                tc = newt[ref]
+                sc = news[ref][:, None]
+                lm.pos[ids] = (np.einsum("mji,mj->mi", Rc, Pc - tc) / sc
+                               ).astype(np.float32)
             for ki in range(C):
                 T = np.eye(4, dtype=np.float32)
                 T[:3, :3] = newR[ki]
                 T[:3, 3] = newt[ki] / news[ki]
                 ks.Tcw[ki] = T
 
-        m.loop_edges[kf].add(loop_kf)
-        m.loop_edges[loop_kf].add(kf)
+        m.loop_edges.setdefault(kf, set()).add(loop_kf)
+        m.loop_edges.setdefault(loop_kf, set()).add(kf)
         self.last_loop_kf = kf
         self.n_loops_closed += 1
 
@@ -449,9 +600,7 @@ class LoopCloser:
                     if q >= 0 and lm.alive[q]:
                         m.replace_landmark(q, p)   # loop point wins
                     else:
-                        ks.obs_lm[target_kf, feat] = p
-                        m.lm_obs[p][target_kf] = feat
-                        lm.n_obs[p] += 2 if ks.u_right[target_kf, feat] > 0 else 1
+                        m.core.add_observation(p, target_kf, feat)
 
     def on_keyframe(self, kf: int, bow: Dict[int, float]) -> bool:
         """Run the full loop-closing pipeline; returns True if a loop was

@@ -72,7 +72,10 @@ class LandmarkStore:
         self.normal[ids] = normal
         self.dmin[ids] = 0.8 * min_dist
         self.dmax[ids] = 1.2 * max_dist
-        self.n_obs[ids] = 2  # stereo observation counts 2 (MapPoint.py:98-107)
+        # n_obs starts at 0: observation registration (the native core's
+        # add_keyframe / add_observation(s)) is the single counter, with
+        # stereo observations counting 2 (MapPoint.py:98-107)
+        self.n_obs[ids] = 0
         self.visible[ids] = 1
         self.found[ids] = 1
         self.first_kf[ids] = ref_kf

@@ -1,11 +1,15 @@
 """SlamMap: keyframes + landmarks + observations + covisibility + local BA.
 
 The host-side map backend (the array redesign of Map.py / KeyFrame.py /
-MapPoint.py bookkeeping) plus the device-side Schur BA invocation.  All
-pointer-chasing structures (observer lists, covisibility weights) stay in
-numpy/python on the host per SURVEY.md §7's host/device split; the BA
-problem is assembled into bucketed fixed-shape arrays and dispatched to
-the batched Schur LM engine.
+MapPoint.py bookkeeping) plus the device-side Schur BA invocation.  The
+pointer-chasing structures — the landmark->observer inverse index and the
+covisibility weights — live in the NATIVE map core (native/mapcore.cpp),
+which attaches directly to the numpy stores (obs_lm, u_right, n_obs,
+alive, ...) so there is exactly one owner of observation state.  This is
+the TPU-native analog of the reference's C++ runtime layer
+(pyORBExtractor / g2o); Python keeps only the tiny spanning-tree /
+loop-edge dicts, and the BA problem is assembled natively into bucketed
+fixed-shape arrays dispatched to the batched Schur LM engine.
 
 Reference semantics preserved:
   * covisibility edges at weight >= 15, ordered descending
@@ -15,8 +19,7 @@ Reference semantics preserved:
   * local BA neighborhood: the KF + its covisibles free, second-ring
     observers fixed, KF 0 always fixed (Optimizer.py:210-260);
   * observation erasure after BA outlier gating (Optimizer.py:336-353),
-    landmarks dying below 2 observing keyframes (stereo counts per-KF
-    here; MapPoint.erase_observation semantics);
+    landmarks dying when support collapses (MapPoint.erase_observation);
   * map-point culling by found/visible ratio < 0.25 or weak early
     support (LocalMapping.map_point_culling:125-150);
   * normal/depth refresh after BA (MapPoint.update_normal_and_depth).
@@ -25,7 +28,6 @@ Reference semantics preserved:
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -33,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyorbslam_tpu.config import SlamConfig
+from pyorbslam_tpu.native.mapcore_ffi import MapCore
 from pyorbslam_tpu.optim import ba
 from pyorbslam_tpu.slam.mapstore import KeyFrameStore, LandmarkStore
 
@@ -68,14 +71,46 @@ class SlamMap:
         self.keyframes = KeyFrameStore(
             self.keyframe_capacity, self.cfg.orb.max_keypoints
         )
-        # landmark id -> {kf_id: feat_idx}
-        self.lm_obs: Dict[int, Dict[int, int]] = defaultdict(dict)
-        # covisibility weights kf -> {kf: weight}
-        self.covis: Dict[int, Dict[int, int]] = defaultdict(dict)
+        self.core = self._make_core()
         # spanning tree (parent = strongest covisible at insertion)
         self.parent: Dict[int, int] = {}
-        self.children: Dict[int, set] = defaultdict(set)
-        self.loop_edges: Dict[int, set] = defaultdict(set)
+        self.children: Dict[int, set] = {}
+        self.loop_edges: Dict[int, set] = {}
+        # culled keyframes: kf -> (live-parent-at-cull, Tcp) where
+        # Tcp = Tcw_kf @ inv(Tcw_parent) frozen at cull time — the
+        # reference's KeyFrame.mTcp (KeyFrame.py:411), chained by
+        # System.save_trajectory_kitti through dead ancestors
+        # (System.py:124-145) so frame export survives keyframe culling
+        self.dead_anchor: Dict[int, Tuple[int, np.ndarray]] = {}
+
+    def _make_core(self) -> MapCore:
+        ks, lm = self.keyframes, self.landmarks
+        return MapCore(ks.obs_lm, ks.u_right, ks.kp_octave, lm.n_obs,
+                       lm.alive, lm.replaced_by, lm.found, lm.visible)
+
+    def rebuild_core(self):
+        """Rebuild the native index from the dense obs_lm table (used by
+        checkpoint restore).  n_obs is recounted from scratch."""
+        self.landmarks.n_obs[:] = 0
+        self.core = self._make_core()
+        for kf in range(self.keyframes.n):
+            if self.keyframes.alive[kf]:
+                self.core.add_keyframe(kf)
+        for kf in range(self.keyframes.n):
+            if self.keyframes.alive[kf]:
+                self.update_connections(kf)
+
+    def resolve_ref(self, kf: int, Tcr: np.ndarray):
+        """Chain a frame's (ref-KF, Tcr) through culled ancestors to the
+        nearest LIVE keyframe (System.py:124-145 while-is-bad loop).
+        Returns (live_kf, Tcr') with Tcr' @ Tcw[live_kf] == frame pose."""
+        while kf in self.dead_anchor:
+            parent, Tcp = self.dead_anchor[kf]
+            if parent == kf:    # orphan cull (KF 0): nothing to chain to
+                break
+            Tcr = Tcr @ Tcp
+            kf = parent
+        return kf, Tcr
 
     # ------------- keyframe insertion -------------
 
@@ -92,82 +127,38 @@ class SlamMap:
             depth=frame_np["depth"], obs_lm=assign.astype(np.int32),
             kp_node=kp_node,
         )
-        feat_idx = np.nonzero(assign >= 0)[0]
-        for i in feat_idx:
-            lm = int(assign[i])
-            self.lm_obs[lm][kf] = int(i)
-            self.landmarks.n_obs[lm] += 2 if frame_np["u_right"][i] > 0 else 1
+        self.core.add_keyframe(kf)
         self.update_connections(kf)
         return kf
 
     def update_connections(self, kf: int):
-        """Recount shared-landmark weights for ``kf`` (KeyFrame.py:145-203)."""
-        counter: Dict[int, int] = defaultdict(int)
-        for lm in self.keyframes.obs_lm[kf]:
-            if lm < 0:
-                continue
-            for other in self.lm_obs[int(lm)]:
-                if other != kf:
-                    counter[other] += 1
-        if not counter:
-            return
-        w_max = max(counter.values())
-        kf_max = max(counter, key=counter.get)
-        edges = {o: w for o, w in counter.items() if w >= COVIS_TH}
-        if not edges:  # keep at least the strongest link
-            edges = {kf_max: w_max}
-        self.covis[kf] = dict(edges)
-        for o, w in edges.items():
-            self.covis[o][kf] = w
-        if kf not in self.parent and kf != 0:
-            self.parent[kf] = kf_max
-            self.children[kf_max].add(kf)
+        """Recount shared-landmark weights for ``kf`` (KeyFrame.py:145-203)
+        in the native core; maintain the spanning tree here."""
+        _, _, strongest = self.core.update_connections(kf, COVIS_TH)
+        if strongest >= 0 and kf not in self.parent and kf != 0:
+            self.parent[kf] = strongest
+            self.children.setdefault(strongest, set()).add(kf)
 
     def covisible_neighbors(self, kf: int, n: Optional[int] = None) -> List[int]:
         """Neighbors ordered by weight DESC (intended semantics; the
         reference's incremental update sorts ascending by mistake)."""
-        items = sorted(self.covis.get(kf, {}).items(), key=lambda kv: -kv[1])
-        ids = [k for k, _ in items]
-        return ids if n is None else ids[:n]
+        ids, _ = self.core.neighbors(kf, cap=(n if n is not None else 4096))
+        return ids.tolist()
+
+    def covis_weight(self, a: int, b: int) -> int:
+        return self.core.covis_weight(a, b)
 
     # ------------- observation management -------------
 
     def erase_observation(self, lm: int, kf: int):
-        obs = self.lm_obs.get(lm)
-        if obs is None or kf not in obs:
-            return
-        feat = obs.pop(kf)
-        if self.keyframes.obs_lm[kf, feat] == lm:
-            self.keyframes.obs_lm[kf, feat] = -1
-        stereo = self.keyframes.u_right[kf, feat] > 0
-        self.landmarks.n_obs[lm] -= 2 if stereo else 1
-        if self.landmarks.n_obs[lm] <= 2 and len(obs) <= 1:
-            self.kill_landmark(lm)
+        self.core.erase_observation(lm, kf)
 
     def kill_landmark(self, lm: int):
-        for kf, feat in list(self.lm_obs.get(lm, {}).items()):
-            if self.keyframes.obs_lm[kf, feat] == lm:
-                self.keyframes.obs_lm[kf, feat] = -1
-        self.lm_obs.pop(lm, None)
-        self.landmarks.alive[lm] = False
+        self.core.kill_landmark(lm)
 
     def replace_landmark(self, lm: int, by: int):
         """MapPoint.replace (MapPoint.py:157-182): forward all observations."""
-        if lm == by:
-            return
-        for kf, feat in list(self.lm_obs.get(lm, {}).items()):
-            if by not in self.lm_obs[by] or kf not in self.lm_obs[by]:
-                self.keyframes.obs_lm[kf, feat] = by
-                self.lm_obs[by][kf] = feat
-                stereo = self.keyframes.u_right[kf, feat] > 0
-                self.landmarks.n_obs[by] += 2 if stereo else 1
-            else:
-                self.keyframes.obs_lm[kf, feat] = -1
-        self.landmarks.found[by] += self.landmarks.found[lm]
-        self.landmarks.visible[by] += self.landmarks.visible[lm]
-        self.lm_obs.pop(lm, None)
-        self.landmarks.alive[lm] = False
-        self.landmarks.replaced_by[lm] = by
+        self.core.replace_landmark(lm, by)
 
     # ------------- maintenance -------------
 
@@ -176,42 +167,37 @@ class SlamMap:
         """LocalMapping.map_point_culling: kill points with found/visible
         < 0.25, or with <= 3 stereo-equivalent observations 2-3 KFs after
         creation."""
-        for lm in recent_ids:
-            lm = int(lm)
-            if not self.landmarks.alive[lm]:
-                continue
-            found_ratio = self.landmarks.found[lm] / max(self.landmarks.visible[lm], 1)
-            age = current_kf - int(created_kf[lm])
-            if found_ratio < 0.25:
-                self.kill_landmark(lm)
-            elif age >= 2 and self.landmarks.n_obs[lm] <= 3:
-                self.kill_landmark(lm)
+        lm = self.landmarks
+        recent_ids = np.asarray(recent_ids, np.int64)
+        if len(recent_ids) == 0:
+            return
+        alive = lm.alive[recent_ids]
+        ratio = lm.found[recent_ids] / np.maximum(lm.visible[recent_ids], 1)
+        age = current_kf - created_kf[recent_ids]
+        kill = alive & ((ratio < 0.25) | ((age >= 2) & (lm.n_obs[recent_ids] <= 3)))
+        for p in recent_ids[kill]:
+            self.core.kill_landmark(int(p))
 
     def update_landmark_geometry(self, lm_ids: np.ndarray):
         """MapPoint.update_normal_and_depth for a batch of landmarks,
-        vectorized: one flat (landmark, keyframe) pair list, then numpy
-        segment sums (np.add.at) — the Python-per-landmark loop was a
-        measurable slice of keyframe-insertion time."""
+        vectorized over a native CSR observer dump."""
         lm = self.landmarks
-        ids, pair_l, pair_k, ref_kf, ref_feat = [], [], [], [], []
-        for l in lm_ids:
-            l = int(l)
-            obs = self.lm_obs.get(l)
-            if not obs or not lm.alive[l]:
-                continue
-            li = len(ids)
-            ids.append(l)
-            for kf in obs:
-                pair_l.append(li)
-                pair_k.append(kf)
-            rk = next(iter(obs))
-            ref_kf.append(rk)
-            ref_feat.append(obs[rk])
-        if not ids:
+        lm_ids = np.asarray(lm_ids, np.int32)
+        lm_ids = lm_ids[lm.alive[lm_ids]]
+        if len(lm_ids) == 0:
             return
-        ids = np.asarray(ids)
-        pair_l = np.asarray(pair_l)
-        pair_k = np.asarray(pair_k)
+        off, pair_k, pair_f = self.core.observers_csr(lm_ids)
+        counts = np.diff(off)
+        has = counts > 0
+        ids = lm_ids[has]
+        if len(ids) == 0:
+            return
+        pair_l = np.repeat(np.arange(len(lm_ids), dtype=np.int32), counts)
+        sel = has[pair_l]
+        # re-index pair_l into the filtered id list
+        remap = np.cumsum(has) - 1
+        pair_l = remap[pair_l[sel]].astype(np.int32)
+        pair_k = pair_k[sel]
         pos = lm.pos[ids]
 
         Tcw = self.keyframes.Tcw[pair_k]
@@ -227,8 +213,8 @@ class SlamMap:
         lm.normal[ids[upd]] = (sums[upd] / nn[upd, None]).astype(np.float32)
 
         # depth band from the reference (first) observation
-        ref_kf = np.asarray(ref_kf)
-        ref_feat = np.asarray(ref_feat)
+        ref_kf = pair_k[off[:len(lm_ids)][has]]
+        ref_feat = pair_f[off[:len(lm_ids)][has]]
         Tr = self.keyframes.Tcw[ref_kf]
         Owr = -np.einsum("mji,mj->mi", Tr[:, :3, :3], Tr[:, :3, 3])
         dist = np.linalg.norm(pos - Owr, axis=1)
@@ -244,9 +230,8 @@ class SlamMap:
     def global_ba(self) -> dict:
         """Optimizer.bundle_adjustment (Optimizer.py:21-121): all KFs and
         landmarks, KF 0 fixed, 10 iterations — run after loop closure."""
-        C_live = list(range(self.keyframes.n))
-        pnt_ids = [int(p) for p, obs in self.lm_obs.items()
-                   if obs and self.landmarks.alive[p]]
+        C_live = [k for k in range(self.keyframes.n) if self.keyframes.alive[k]]
+        pnt_ids = self.core.observed_landmarks(self.landmarks.n)
         if len(C_live) < 2 or len(pnt_ids) < 50:
             return dict(ran=False)
         # beyond the dense engine's sweet spot the implicit-Schur CG
@@ -265,46 +250,22 @@ class SlamMap:
         """Assemble + run the Schur BA over the covisible neighborhood of
         ``kf``; write back poses/points and erase outlier observations."""
         bacfg = self.cfg.ba
-        local_kfs = [kf] + self.covisible_neighbors(kf, bacfg.max_local_kfs - 1)
-        local_set = set(local_kfs)
-
-        # local points = landmarks seen by local KFs
-        pnt_ids: List[int] = []
-        seen = set()
-        for k in local_kfs:
-            for lm in self.keyframes.obs_lm[k]:
-                lm = int(lm)
-                if lm >= 0 and lm not in seen and self.landmarks.alive[lm]:
-                    seen.add(lm)
-                    pnt_ids.append(lm)
-        if len(pnt_ids) > bacfg.max_local_points:
-            pnt_ids = pnt_ids[: bacfg.max_local_points]
-            seen = set(pnt_ids)
-
-        # fixed cameras = other observers of local points
-        fixed_kfs: List[int] = []
-        fixed_seen = set(local_set)
-        for lm in pnt_ids:
-            for k in self.lm_obs[lm]:
-                if k not in fixed_seen:
-                    fixed_seen.add(k)
-                    fixed_kfs.append(k)
-
-        cams = local_kfs + fixed_kfs
-        if len(cams) > 2 * bacfg.max_local_kfs:
-            cams = cams[: 2 * bacfg.max_local_kfs]
+        cams, n_free, pnt_ids = self.core.local_ba_gather(
+            kf, bacfg.max_local_kfs, bacfg.max_local_points,
+            2 * bacfg.max_local_kfs)
         return self._run_ba(
-            cams=cams, n_free=len(local_kfs), pnt_ids=pnt_ids,
+            cams=cams, n_free=n_free, pnt_ids=pnt_ids,
             iters1=bacfg.local_ba_iters1, iters2=bacfg.local_ba_iters2,
             erase_outliers=True,
         )
 
-    def _run_ba(self, cams: List[int], n_free: int, pnt_ids: List[int],
+    def _run_ba(self, cams, n_free: int, pnt_ids,
                 iters1: int, iters2: int, erase_outliers: bool,
                 engine: str = "dense") -> dict:
-        """Assemble bucketed fixed-shape arrays, dispatch the Schur BA
-        (dense reduced system, or implicit-Schur CG for global scale),
-        write back, optionally erase outlier observations."""
+        """Assemble bucketed fixed-shape arrays (native observation
+        gather), dispatch the Schur BA (dense reduced system, or
+        implicit-Schur CG for global scale), write back, optionally erase
+        outlier observations."""
         if engine == "cg":
             cam_buckets = [128, 256, 512, 1024, 2048, 4096]
             pnt_buckets = [16384, 32768, 65536, 131072, 262144]
@@ -313,42 +274,28 @@ class SlamMap:
             cam_buckets = [8, 16, 32, 64, 128, 256]
             pnt_buckets = [1024, 2048, 4096, 8192, 16384, 32768, 65536]
             obs_buckets = [4096, 8192, 16384, 32768, 65536, 131072, 262144]
+        cams = np.asarray(cams, np.int32)
+        pnt_ids = np.asarray(pnt_ids, np.int32)
         C = _bucket(len(cams), cam_buckets)
         P = _bucket(len(pnt_ids), pnt_buckets)
         cams = cams[:C]
         n_free = min(n_free, C)
         pnt_ids = pnt_ids[:P]
-        cam_index = {k: i for i, k in enumerate(cams)}
 
-        # observations (stereo-only edges, Optimizer.py:293 branch)
-        obs_cam, obs_pnt, obs_uvr, obs_isig = [], [], [], []
-        obs_back = []  # (lm, kf) for erasure bookkeeping
-        inv_sigma2 = self.cfg.orb.inv_level_sigma2
-        pnt_index = {p: i for i, p in enumerate(pnt_ids)}
-        for lm in pnt_ids:
-            for k, feat in self.lm_obs[lm].items():
-                if k not in cam_index:
-                    continue
-                if self.keyframes.u_right[k, feat] <= 0:
-                    continue
-                obs_cam.append(cam_index[k])
-                obs_pnt.append(pnt_index[lm])
-                obs_uvr.append([
-                    self.keyframes.kp_xy[k, feat, 0],
-                    self.keyframes.kp_xy[k, feat, 1],
-                    self.keyframes.u_right[k, feat],
-                ])
-                obs_isig.append(inv_sigma2[self.keyframes.kp_octave[k, feat]])
-                obs_back.append((lm, k))
-        n_obs = len(obs_cam)
+        ks = self.keyframes
+        oc, op, okf, oft = self.core.assemble_obs(
+            cams, pnt_ids, cap=obs_buckets[-1])
+        n_obs = len(oc)
         if n_obs < 20 or len(pnt_ids) < 10:
             return dict(ran=False)
-
         O = _bucket(n_obs, obs_buckets)
         n_obs = min(n_obs, O)
+        oc, op, okf, oft = oc[:n_obs], op[:n_obs], okf[:n_obs], oft[:n_obs]
+
+        inv_sigma2 = np.asarray(self.cfg.orb.inv_level_sigma2)
 
         cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
-        cam_Tcw[: len(cams)] = self.keyframes.Tcw[cams]
+        cam_Tcw[: len(cams)] = ks.Tcw[cams]
         cam_fixed = np.ones(C, bool)
         for i, k in enumerate(cams):
             cam_fixed[i] = (i >= n_free) or (k == 0)
@@ -357,15 +304,17 @@ class SlamMap:
         pnt_active = np.zeros(P, bool)
         pnt_active[: len(pnt_ids)] = True
 
-        oc = np.zeros(O, np.int32)
-        op = np.zeros(O, np.int32)
+        ocp = np.zeros(O, np.int32)
+        opp = np.zeros(O, np.int32)
         ouvr = np.zeros((O, 3), np.float32)
         oisig = np.zeros(O, np.float32)
         oact = np.zeros(O, bool)
-        oc[:n_obs] = obs_cam[:n_obs]
-        op[:n_obs] = obs_pnt[:n_obs]
-        ouvr[:n_obs] = obs_uvr[:n_obs]
-        oisig[:n_obs] = obs_isig[:n_obs]
+        ocp[:n_obs] = oc
+        opp[:n_obs] = op
+        ouvr[:n_obs, 0] = ks.kp_xy[okf, oft, 0]
+        ouvr[:n_obs, 1] = ks.kp_xy[okf, oft, 1]
+        ouvr[:n_obs, 2] = ks.u_right[okf, oft]
+        oisig[:n_obs] = inv_sigma2[ks.kp_octave[okf, oft]]
         oact[:n_obs] = True
 
         c = self.cfg.camera
@@ -374,8 +323,8 @@ class SlamMap:
             cam_fixed=jnp.asarray(cam_fixed),
             pnt_pos=jnp.asarray(pnt_pos),
             pnt_active=jnp.asarray(pnt_active),
-            obs_cam=jnp.asarray(oc),
-            obs_pnt=jnp.asarray(op),
+            obs_cam=jnp.asarray(ocp),
+            obs_pnt=jnp.asarray(opp),
             obs_uvr=jnp.asarray(ouvr),
             obs_inv_sigma2=jnp.asarray(oisig),
             obs_active=jnp.asarray(oact),
@@ -393,7 +342,7 @@ class SlamMap:
         new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
         for i in range(n_free):
             if not cam_fixed[i]:
-                self.keyframes.Tcw[cams[i]] = new_Tcw[i]
+                ks.Tcw[cams[i]] = new_Tcw[i]
         new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
         self.landmarks.pos[pnt_ids] = new_pos[: len(pnt_ids)]
 
@@ -401,11 +350,10 @@ class SlamMap:
         n_erased = 0
         if erase_outliers:
             for o in np.nonzero(~inlier[:n_obs])[0]:
-                lm, k = obs_back[o]
-                self.erase_observation(lm, k)
+                self.core.erase_observation(int(pnt_ids[op[o]]), int(okf[o]))
                 n_erased += 1
 
-        self.update_landmark_geometry(np.asarray(pnt_ids))
+        self.update_landmark_geometry(pnt_ids)
         return dict(
             ran=True, n_cams=len(cams), n_free=n_free,
             n_points=len(pnt_ids), n_obs=n_obs, n_erased=n_erased,

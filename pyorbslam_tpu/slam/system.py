@@ -54,6 +54,45 @@ def _cap_bucket(n: int, max_cap: int) -> int:
     return max_cap
 
 
+def need_new_keyframe(
+    n_inliers: int, n_ref_matches: int, n_kfs: int,
+    frame_id: int, last_kf_frame: int, last_reloc_frame: int,
+    tracked_close: int, non_tracked_close: int,
+    min_frames: int, max_frames: int,
+    mapper_idle: bool = True, queue_len: int = 0,
+) -> bool:
+    """Tracking.need_new_key_frame (Tracking.py:470-520), as a pure
+    host predicate.
+
+    Clauses (reference names):
+      * reloc guard: no keyframes right after relocalization while the
+        map is already mature;
+      * bNeedToInsertClose: close points are undertracked;
+      * c1a: max_frames elapsed since the last keyframe;
+      * c1b: min_frames elapsed and the mapper can accept (always true
+        in the synchronous schedule);
+      * c1c: inliers collapsed below 0.25x the reference KF's tracked
+        points, or close points needed;
+      * c2: inliers below thRefRatio x reference (0.75 stereo; 0.4 while
+        the map has <2 KFs), or close needed — and at least 15 inliers.
+    """
+    if frame_id < last_reloc_frame + max_frames and n_kfs > max_frames:
+        return False
+    need_close = tracked_close < 100 and non_tracked_close > 70
+    th_ref_ratio = 0.75 if n_kfs >= 2 else 0.4
+    c1a = frame_id >= last_kf_frame + max_frames
+    c1b = frame_id >= last_kf_frame + min_frames and mapper_idle
+    c1c = n_inliers < n_ref_matches * 0.25 or need_close
+    c2 = (n_inliers < n_ref_matches * th_ref_ratio or need_close) \
+        and n_inliers > 15
+    if not ((c1a or c1b or c1c) and c2):
+        return False
+    # mapper-busy arbitration (Tracking.py:512-519): in the synchronous
+    # schedule the mapper is idle by construction; kept for parity with
+    # an async host schedule
+    return mapper_idle or queue_len < 3
+
+
 @dataclasses.dataclass
 class System:
     cfg: SlamConfig
@@ -90,7 +129,7 @@ class System:
         self.last_assign: Optional[np.ndarray] = None
         self.lm_created_kf = np.full(self.landmark_capacity, -1, np.int32)
         self.recent_lms: list = []
-        self.frames_since_kf = 0
+        self.last_kf_frame = -10**9   # frame id of the last keyframe
         self.frame_id = -1
         self.trajectory: list = []   # raw per-frame Tcw at track time
         self.frame_refs: list = []   # (ref_kf, Tcr): relative log for export
@@ -98,6 +137,13 @@ class System:
         self._mirror = None          # device-resident landmark blocks
         self._mirror_stale = True
         self._frame_cache = None     # (frame, host snapshot) of the last pull
+        # windowed schedule: while committing a window the mapper counts
+        # as BUSY (the reference's async LocalMapping while a queue
+        # drains, LocalMapping.py:86-106) — keyframe insertion then needs
+        # c1a/c1c and is capped by the queue arbitration
+        self._mapper_queue = None    # None = idle (per-frame schedule)
+        self._pending_window = None  # in-flight pipelined window
+        self._scan_correction = None
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> np.ndarray:
@@ -130,19 +176,73 @@ class System:
         asynchronous LocalMapping thread produces.  Falls back to
         per-frame tracking until initialized or when any frame in the
         window tracks weakly.  Returns the W per-frame Tcw poses."""
-        W = len(timestamps)
-
-        def per_frame():
+        if self.state != "OK" or self.map.keyframes.n == 0:
             return np.stack([
                 self.track_stereo(lefts[i], rights[i], timestamps[i])
-                for i in range(W)
+                for i in range(len(timestamps))
             ])
+        return self._commit_window(
+            self._dispatch_window(lefts, rights, timestamps))
 
+    # ---- pipelined deployment driver ----
+    #
+    # The chip scans window N+1 while the host processes window N's
+    # keyframes (triangulation / fuse / local BA / loop closing) — the
+    # TPU-native form of the reference's async Tracking/LocalMapping
+    # split (System.py:58-64).  The next scan is dispatched from the
+    # DEVICE-side carry of the previous one (no host round trip), against
+    # the landmark mirror as of the last processed window (1-window map
+    # lag).  Corrections the host discovers while processing (BA-refined
+    # keyframe poses, loop closures) are applied to the in-flight
+    # window's raw poses as a relative transform at commit time.
+
+    def window_feed(self, lefts, rights, timestamps) -> np.ndarray:
+        """Feed one window; returns the poses that became FINAL with this
+        call (usually the previous window's W poses; empty on the first
+        call; 2W when a bootstrap flush occurs)."""
+        empty = np.zeros((0, 4, 4), np.float32)
         if self.state != "OK" or self.map.keyframes.n == 0:
-            return per_frame()
+            done = self.window_flush()
+            boot = np.stack([
+                self.track_stereo(lefts[i], rights[i], timestamps[i])
+                for i in range(len(timestamps))
+            ])
+            return np.concatenate([done, boot]) if len(done) else boot
+        old = self._pending_window
+        new = self._dispatch_window(
+            lefts, rights, timestamps,
+            carry=(old["carry"] if old is not None else None))
+        out = empty
+        if old is not None:
+            out = self._commit_window(old)
+            new["base"] = self._scan_correction
+            if self.state != "OK":
+                # the in-flight scan chained off a lost track: its raw
+                # poses are unusable — re-track those frames per-frame
+                new["discard"] = True
+        self._pending_window = new
+        return out
 
+    def window_flush(self) -> np.ndarray:
+        """Commit any in-flight window; returns its poses."""
+        pending = self._pending_window
+        self._pending_window = None
+        if pending is None:
+            return np.zeros((0, 4, 4), np.float32)
+        if pending.get("discard") or self.state != "OK":
+            return np.stack([
+                self.track_stereo(l, r, t) for l, r, t in zip(
+                    pending["lefts"], pending["rights"],
+                    pending["timestamps"])
+            ])
+        return self._commit_window(pending)
+
+    def _dispatch_window(self, lefts, rights, timestamps, carry=None):
+        """Upload one window of stereo pairs and dispatch the scan.
+        ``carry`` (device tuple from the previous scan) lets the chip
+        chain windows without waiting for host processing."""
+        W = len(timestamps)
         lm = self.map.landmarks
-        q_lm = lm.resolve(self.last_assign)
         local_ids = self._local_point_ids(self.last_assign)
         cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
         p_ids = np.full(cap, -1, np.int32)
@@ -153,14 +253,32 @@ class System:
                        jnp.asarray(rights[i], jnp.float32)])
             for i in range(W)
         ])
-        Tllw0 = (np.linalg.inv(self.velocity) @ self.Tcw).astype(np.float32)
-        packed, frames = fused_track_window(
-            images, *self._landmark_mirror(), self.last_frame,
-            jnp.asarray(q_lm), jnp.asarray(p_ids),
-            jnp.asarray(self.Tcw), jnp.asarray(Tllw0), self.cfg,
+        if carry is None:
+            frame0 = self.last_frame
+            q_lm0 = jnp.asarray(lm.resolve(self.last_assign))
+            Tlw0 = jnp.asarray(self.Tcw)
+            Tllw0 = jnp.asarray(
+                (np.linalg.inv(self.velocity) @ self.Tcw).astype(np.float32))
+        else:
+            frame0, q_lm0, Tlw0, Tllw0 = carry
+        packed, frames, carry_out = fused_track_window(
+            images, *self._landmark_mirror(), frame0, q_lm0,
+            jnp.asarray(p_ids), Tlw0, Tllw0, self.cfg,
         )
-        out = np.asarray(packed)          # ONE device->host transfer
-        n_feat = q_lm.shape[0]
+        return dict(packed=packed, frames=frames, carry=carry_out,
+                    lefts=lefts, rights=rights, timestamps=timestamps,
+                    p_ids=p_ids, n_local=len(local_ids),
+                    n_feat=int(q_lm0.shape[0]), base=None)
+
+    def _commit_window(self, pending) -> np.ndarray:
+        timestamps = pending["timestamps"]
+        lefts, rights = pending["lefts"], pending["rights"]
+        p_ids = pending["p_ids"]
+        local_n = pending["n_local"]
+        lm = self.map.landmarks
+        W = len(timestamps)
+        out = np.asarray(pending["packed"])   # ONE device->host transfer
+        n_feat = pending["n_feat"]
         stats = out[:, :5]
         # commit only the prefix of frames that stayed WELL-ANCHORED to the
         # map (strong local-stage inlier count, healthy motion stage);
@@ -172,15 +290,43 @@ class System:
             (stats[:, 0] < 20) | (stats[:, 1] < 20)
             | (stats[:, 2] < self.window_commit_min_inliers)
         )
+        # frames that will need a keyframe also stop the commit prefix:
+        # a keyframe must anchor landmarks from a FRESH-map per-frame
+        # track, not a scan pose tracked against the window-stale map
+        # (the scan pose is fine for odometry, not for map insertion)
+        ks = self.map.keyframes
+        n_kfs = int(ks.alive[: ks.n].sum())
+        ref_matches = self._ref_kf_tracked_points()
+        trk = self.cfg.tracking
+        for i in range(W):
+            if bad[i]:
+                break
+            tp = int((out[i, 21: 21 + n_feat] >= 0).sum())
+            if need_new_keyframe(
+                n_inliers=tp, n_ref_matches=ref_matches, n_kfs=n_kfs,
+                frame_id=self.frame_id + 1 + i,
+                last_kf_frame=self.last_kf_frame,
+                last_reloc_frame=self.last_reloc_frame,
+                tracked_close=int(stats[i, 3]),
+                non_tracked_close=int(stats[i, 4]),
+                min_frames=trk.min_frames, max_frames=trk.max_frames,
+                mapper_idle=False, queue_len=0,
+            ):
+                bad[i] = True
+                break
         n_ok = int(np.argmax(bad)) if bad.any() else W
 
         poses = []
         # when a mid-window keyframe's local BA (or a loop closure)
         # refines the pose, the remaining scan poses — chained off the
         # uncorrected estimate — get the correction as a relative
-        # transform: T_j' = (T_j · raw_i^-1) · corrected_i
-        base_raw = None
-        base_corr = None
+        # transform: T_j' = (T_j · raw_i^-1) · corrected_i.  A pipelined
+        # window starts from the correction discovered while it was
+        # in flight (pending["base"]).
+        base_raw, base_corr = pending["base"] or (None, None)
+        frames = pending["frames"]
+        raw_last = out[W - 1, 5:21].copy().view(np.float32).reshape(4, 4)
+        self._mapper_queue = 0   # window commit = mapper busy
         for i in range(n_ok):
             self.frame_id += 1
             row = out[i]
@@ -206,7 +352,7 @@ class System:
             pre_kf_Tcw = self.Tcw.copy()
             self._finish_track(
                 frame_i, assign, int(row[0]), n_inliers,
-                int(row[3]), int(row[4]), len(local_ids), timestamps[i],
+                int(row[3]), int(row[4]), local_n, timestamps[i],
             )
             if not np.allclose(self.Tcw, pre_kf_Tcw, atol=1e-7):
                 base_raw = raw.copy()
@@ -216,16 +362,27 @@ class System:
             Tcr = self.Tcw @ np.linalg.inv(self.map.keyframes.Tcw[ref])
             self.frame_refs.append((ref, Tcr.astype(np.float32)))
             poses.append(self.Tcw.copy())
+        # weakly-anchored tail re-tracks per frame, still under the
+        # window's busy-mapper keyframe gating
         for i in range(n_ok, W):
             poses.append(
                 self.track_stereo(lefts[i], rights[i], timestamps[i]))
+        self._mapper_queue = None   # mapper idle again
+        # divergence between the raw scan chain (which any in-flight
+        # window continued from) and the host's final pose for this
+        # window's last frame — applied to the next pipelined commit
+        self._scan_correction = (raw_last, self.Tcw.copy())
         return np.stack(poses)
 
     def corrected_trajectory(self) -> np.ndarray:
-        """Per-frame Tcw with all keyframe corrections applied."""
+        """Per-frame Tcw with all keyframe corrections applied.  Frames
+        whose reference KF was culled chain Tcr through the frozen
+        dead-KF relative poses to the nearest live ancestor
+        (System.save_trajectory_kitti, System.py:124-145)."""
         out = []
         for (ref, Tcr), raw in zip(self.frame_refs, self.trajectory):
             if ref >= 0:
+                ref, Tcr = self.map.resolve_ref(ref, Tcr)
                 out.append(Tcr @ self.map.keyframes.Tcw[ref])
             else:
                 out.append(raw)
@@ -246,8 +403,11 @@ class System:
     # ---------------- initialization ----------------
 
     def _stereo_initialization(self, frame: StereoFrame, timestamp: float):
+        # the reference requires > 500 features at its 2000-feature
+        # operating point (Tracking.py:284); scale the gate with the
+        # configured budget so small configs can still bootstrap
         n_valid = int(np.asarray(frame.valid).sum())
-        if n_valid <= 500:
+        if n_valid <= min(500, self.cfg.orb.n_features // 4):
             return
         if self.vocabulary is None:
             # no ORBvoc.txt available: train a scene vocabulary from the
@@ -441,16 +601,35 @@ class System:
             self.Tcw @ np.linalg.inv(self.trajectory[-1])
         ).astype(np.float32)
 
-        self.frames_since_kf += 1
-        need_close = tracked_close < 100 and non_tracked_close > 70
+        # keyframe decision (Tracking.need_new_key_frame parity), plus:
         # MARGINAL frames force a keyframe (refresh the local map before
         # tracking dies); WEAK frames with failed relocalization reseed via
         # a keyframe as the last resort so odometry survives unmapped
         # excursions (the reference's auto-reset analog, Tracking.py:258-262)
+        trk = self.cfg.tracking
+        ks = self.map.keyframes
+        # mnMatchesInliers counts ALL tracked map points in the frame
+        # (Tracking.py:375-382), not just stereo-edge pose-opt inliers —
+        # the ratio clauses are calibrated against that count
+        n_tracked_points = int((assign >= 0).sum())
         need_kf = not self.localization_only and (
-            (self.state == "OK"
-             and n_inliers > 15
-             and (need_close or self.frames_since_kf >= self.cfg.tracking.max_frames))
+            (self.state == "OK" and need_new_keyframe(
+                n_inliers=n_tracked_points,
+                n_ref_matches=self._ref_kf_tracked_points(),
+                n_kfs=int(ks.alive[: ks.n].sum()),
+                frame_id=self.frame_id,
+                last_kf_frame=self.last_kf_frame,
+                last_reloc_frame=self.last_reloc_frame,
+                tracked_close=tracked_close,
+                non_tracked_close=non_tracked_close,
+                min_frames=trk.min_frames, max_frames=trk.max_frames,
+                mapper_idle=(
+                    self._mapper_queue is None
+                    and self.frame_id
+                    >= self.last_kf_frame + trk.mapper_latency_frames
+                ),
+                queue_len=self._mapper_queue or 0,
+            ))
             or self.state == "MARGINAL"
             or self.state == "WEAK"
         )
@@ -466,7 +645,9 @@ class System:
         self.last_assign = assign
         self.stats.append(
             dict(frame=self.frame_id, matches=n_matches, inliers=n_inliers,
+                 tracked_points=n_tracked_points,
                  tracked_close=tracked_close, new_kf=need_kf,
+                 state=self.state,
                  local_points=n_local, n_kfs=self.map.keyframes.n,
                  n_landmarks=int(self.map.landmarks.alive.sum())),
         )
@@ -505,7 +686,9 @@ class System:
         new_ids = assign[(assign >= 0) & (self.lm_created_kf[np.maximum(assign, 0)] < 0)]
         self.lm_created_kf[new_ids] = kf
         self.recent_lms.append(np.unique(assign[assign >= 0]))
-        self.frames_since_kf = 0
+        self.last_kf_frame = self.frame_id
+        if self._mapper_queue is not None:
+            self._mapper_queue += 1
 
         # map-point culling over landmarks created in the last 3 KFs
         if len(self.recent_lms) > 3:
@@ -682,14 +865,18 @@ class System:
                 jnp.asarray(Tcw0), jnp.asarray(Xw_full), jnp.asarray(obs),
                 jnp.asarray(inv_sigma2_feat), jnp.asarray(edge_active), cam5,
             )
-            if int(pres.num_inliers) < 10:
+            n_good = int(pres.num_inliers)
+            if n_good < 10:
                 continue
             inl = np.asarray(pres.inliers)
             assign = np.where(edge_active & ~inl, -1, assign)
+            Tcw_cur = np.asarray(pres.Tcw)
 
-            # projection rescue (Tracking.py:724-755): project all of the
-            # candidate KF's landmarks with the coarse pose, re-match and
-            # re-optimize
+            # two-tier projection rescue (Tracking.py:724-755): project the
+            # candidate KF's landmarks with the coarse pose and re-match —
+            # first wide (th=10, ORBdist=100), then, if still marginal,
+            # tight (th=3, ORBdist=64); each tier re-runs pose optimization
+            # (folded into local_track_step).  Accept at >= 50 inliers.
             lm = self.map.landmarks
             kf_pts = lm.resolve(kf_lm)
             kf_pts = np.unique(kf_pts[kf_pts >= 0])
@@ -698,63 +885,67 @@ class System:
             p_ids = np.full(cap, -1, np.int32)
             p_ids[: len(kf_pts)] = kf_pts[:cap]
             p_safe = np.maximum(p_ids, 0)
-            has = assign >= 0
-            lres = local_track_step(
-                frame,
-                jnp.asarray(lm.pos[np.maximum(assign, 0)]),
-                jnp.asarray(has),
-                jnp.asarray(lm.pos[p_safe]),
-                jnp.asarray(lm.desc[p_safe]),
-                jnp.asarray(lm.normal[p_safe]),
-                jnp.asarray(lm.dmin[p_safe]),
-                jnp.asarray(lm.dmax[p_safe]),
-                jnp.asarray(p_ids >= 0),
-                jnp.asarray(np.asarray(pres.Tcw)),
-                self.cfg,
-            )
-            if int(lres.n_inliers) < 30:
+
+            def rescue(assign, Tcw_np, radius_mult, max_dist_th):
+                lres = local_track_step(
+                    frame,
+                    jnp.asarray(lm.pos[np.maximum(assign, 0)]),
+                    jnp.asarray(assign >= 0),
+                    jnp.asarray(lm.pos[p_safe]),
+                    jnp.asarray(lm.desc[p_safe]),
+                    jnp.asarray(lm.normal[p_safe]),
+                    jnp.asarray(lm.dmin[p_safe]),
+                    jnp.asarray(lm.dmax[p_safe]),
+                    jnp.asarray(p_ids >= 0),
+                    jnp.asarray(Tcw_np),
+                    self.cfg,
+                    radius_mult=radius_mult, max_dist_th=max_dist_th,
+                )
+                feat_local = np.asarray(lres.feat_local)
+                tracked = np.asarray(lres.tracked)
+                new_assign = np.where(
+                    feat_local >= 0, p_ids[np.maximum(feat_local, 0)], assign
+                )
+                new_assign = np.where(tracked, new_assign, -1)
+                return int(lres.n_inliers), np.asarray(lres.Tcw), new_assign
+
+            if n_good < 50:
+                n_good, Tcw_cur, assign = rescue(assign, Tcw_cur, 10.0, 100)
+                if 30 < n_good < 50:
+                    n_good, Tcw_cur, assign = rescue(assign, Tcw_cur, 3.0, 64)
+            if n_good < 50:
                 continue
-            feat_local = np.asarray(lres.feat_local)
-            tracked = np.asarray(lres.tracked)
-            assign = np.where(
-                feat_local >= 0, p_ids[np.maximum(feat_local, 0)], assign
-            )
-            assign = np.where(tracked, assign, -1)
-            return np.asarray(lres.Tcw), assign
+            return Tcw_cur, assign
         return None
 
     # ---------------- helpers ----------------
 
+    def _ref_kf_tracked_points(self) -> int:
+        """KeyFrame.tracked_map_points(minObs) for the reference (latest)
+        keyframe: its observed landmarks with enough total observations
+        (Tracking.py:483-487; stereo observations count 2)."""
+        ks = self.map.keyframes
+        ref = ks.n - 1
+        if ref < 0:
+            return 0
+        min_obs = 3 if ks.alive[: ks.n].sum() > 2 else 2
+        ids = self.map.landmarks.resolve(ks.obs_lm[ref])
+        ids = ids[ids >= 0]
+        lm = self.map.landmarks
+        ids = ids[lm.alive[ids]]
+        return int((lm.n_obs[ids] >= min_obs).sum())
+
     def _local_point_ids(self, assign: np.ndarray) -> np.ndarray:
         """update_local_keyframes + update_local_points (Tracking.py:392-436):
         KFs observing currently-assigned landmarks, plus their best
-        covisible neighbors; local points = union of their observations."""
-        cap = self.cfg.tracking.max_local_points
-        votes: dict = {}
-        for lmid in assign[assign >= 0]:
-            for k in self.map.lm_obs.get(int(lmid), {}):
-                votes[k] = votes.get(k, 0) + 1
-        if not votes:
+        covisible neighbors; local points = union of their observations.
+        One native call (mapcore_local_points) replaces the per-frame
+        Python dict walk."""
+        tracked = np.unique(assign[assign >= 0])
+        if len(tracked) == 0:
             return np.empty(0, np.int32)
-        local_kfs = list(votes)
-        for k in sorted(votes, key=votes.get, reverse=True)[:10]:
-            local_kfs.extend(self.map.covisible_neighbors(k, 10))
-        seen_kf = set()
-        ids: list = []
-        seen_lm = set(int(i) for i in assign[assign >= 0])
-        for k in local_kfs:
-            if k in seen_kf:
-                continue
-            seen_kf.add(k)
-            obs = self.map.keyframes.obs_lm[k]
-            for lmid in obs[obs >= 0]:
-                lmid = int(lmid)
-                if lmid not in seen_lm and self.map.landmarks.alive[lmid]:
-                    seen_lm.add(lmid)
-                    ids.append(lmid)
-            if len(ids) >= cap:
-                break
-        return np.asarray(ids[:cap], np.int32)
+        return self.map.core.local_points(
+            tracked, self.cfg.tracking.max_local_points)
 
     def _create_landmarks(self, frame: StereoFrame, Tcw: np.ndarray,
                           limit: Optional[int],

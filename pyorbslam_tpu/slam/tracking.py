@@ -168,7 +168,8 @@ class LocalTrackResult(NamedTuple):
     p_visible: jnp.ndarray    # (P,) bool: local point passed the frustum gate
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "radius_mult", "max_dist_th"))
 def local_track_step(
     frame: StereoFrame,
     feat_xw: jnp.ndarray,      # (N, 3) world pos for already-assigned features
@@ -181,11 +182,20 @@ def local_track_step(
     p_active: jnp.ndarray,     # (P,) bool (excludes already-assigned points)
     Tcw: jnp.ndarray,          # (4, 4) pose after motion tracking
     cfg: SlamConfig,
+    radius_mult: Optional[float] = None,
+    max_dist_th: Optional[int] = None,
 ) -> LocalTrackResult:
     """Tracking.track_local_map (Tracking.py:358-468) as one device program:
     frustum-gate the local point set, match by projection with the
     viewing-cos radius and 0.8 ratio test, then re-run pose optimization
-    over the union of assignments."""
+    over the union of assignments.
+
+    With ``radius_mult``/``max_dist_th`` set it instead reproduces the
+    relocalization projection rescue (ORBMatcher.search_by_projection_f_kf_f,
+    ORBMatcher.py:924-1008): radius = mult * scale[predicted level], level
+    window [pred-1, pred+1], best-match Hamming cut at ``max_dist_th``
+    with no ratio test (the two reference tiers are 10/100 then 3/64,
+    Tracking.py:724-755)."""
     cam = _cam_vec(cfg)
     bounds = _bounds_vec(cfg)
     orb = cfg.orb
@@ -205,7 +215,14 @@ def local_track_step(
     )
     po = p_pos - Ow
     view_cos = jnp.einsum("pi,pi->p", po, p_normal) / jnp.maximum(proj.dist, 1e-6)
-    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    if radius_mult is None:
+        r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        max_level = pred_level
+        ratio = 0.8
+    else:
+        r = jnp.full_like(view_cos, radius_mult)
+        max_level = pred_level + 1
+        ratio = None
     radius = r * scale_factors[pred_level]
 
     p_bits = unpack_bits(p_desc)
@@ -215,9 +232,11 @@ def local_track_step(
 
     idx, _, matched = match_ops.match_by_projection(
         proj.u, proj.v, proj.ur, p_bits, p_pop, radius,
-        pred_level - 1, pred_level, active,
+        pred_level - 1, max_level, active,
         frame.xy, frame.octave, frame.u_right, frame.desc_bits, f_pop,
-        f_free, max_dist_th=match_ops.TH_HIGH, ratio=0.8, stereo_gate=True,
+        f_free,
+        max_dist_th=(match_ops.TH_HIGH if max_dist_th is None else max_dist_th),
+        ratio=ratio, stereo_gate=True,
     )
 
     n_feat = frame.capacity
@@ -412,10 +431,13 @@ def fused_track_window(
         )
         return (frame, assign, Tcw, Tlw), (packed, frame)
 
-    (_, _, _, _), (packed, frames) = jax.lax.scan(
+    carry, (packed, frames) = jax.lax.scan(
         body, (last_frame, q_lm0, Tlw0, Tllw0), images
     )
-    return packed, frames
+    # the final carry (last frame's features, landmark assignment, pose
+    # pair) stays ON DEVICE so the next window can be dispatched without
+    # waiting for the host to process this one (pipelined schedule)
+    return packed, frames, carry
 
 
 @dataclasses.dataclass
@@ -475,8 +497,8 @@ class Tracker:
 
     def _stereo_initialization(self, frame: StereoFrame):
         n_valid = int(np.asarray(frame.valid).sum())
-        if n_valid <= 500:
-            return  # wait for a richer frame (Tracking.py:284)
+        if n_valid <= min(500, self.cfg.orb.n_features // 4):
+            return  # wait for a richer frame (Tracking.py:284, scaled)
         self.Tcw = np.eye(4, dtype=np.float32)
         assign = self._create_landmarks(frame, self.Tcw, limit=None)
         self.kf_groups.append(np.unique(assign[assign >= 0]))

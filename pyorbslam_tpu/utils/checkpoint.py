@@ -18,21 +18,19 @@ from pyorbslam_tpu.slam.slam_map import SlamMap
 
 
 def save_map(m: SlamMap, path: str) -> None:
+    # the observation state IS the dense kf_obs_lm table (the native
+    # core's inverse index and covisibility are derived from it on load)
     lm = m.landmarks
     ks = m.keyframes
     nl, nk = lm.n, ks.n
-    obs_triples = np.array(
-        [(p, kf, feat) for p, obs in m.lm_obs.items() for kf, feat in obs.items()],
-        np.int64,
-    ).reshape(-1, 3)
-    covis_triples = np.array(
-        [(a, b, w) for a, nbrs in m.covis.items() for b, w in nbrs.items()],
-        np.int64,
-    ).reshape(-1, 3)
     parent_pairs = np.array(list(m.parent.items()), np.int64).reshape(-1, 2)
     loop_pairs = np.array(
         [(a, b) for a, bs in m.loop_edges.items() for b in bs], np.int64
     ).reshape(-1, 2)
+    dead = sorted(m.dead_anchor)
+    dead_parent = np.array([m.dead_anchor[k][0] for k in dead], np.int64)
+    dead_Tcp = (np.stack([m.dead_anchor[k][1] for k in dead])
+                if dead else np.zeros((0, 4, 4), np.float32))
     np.savez_compressed(
         path,
         n_landmarks=nl, n_keyframes=nk,
@@ -47,8 +45,9 @@ def save_map(m: SlamMap, path: str) -> None:
         kf_node=ks.kp_node[:nk], kf_valid=ks.kp_valid[:nk],
         kf_u_right=ks.u_right[:nk], kf_depth=ks.depth[:nk],
         kf_obs_lm=ks.obs_lm[:nk],
-        obs=obs_triples, covis=covis_triples, parent=parent_pairs,
-        loops=loop_pairs,
+        parent=parent_pairs, loops=loop_pairs,
+        dead=np.array(dead, np.int64), dead_parent=dead_parent,
+        dead_Tcp=dead_Tcp,
         capacities=np.array([lm.capacity, ks.capacity, ks.n_features]),
     )
 
@@ -86,13 +85,15 @@ def load_map(cfg: SlamConfig, path: str) -> SlamMap:
     ks.u_right[:nk] = d["kf_u_right"]
     ks.depth[:nk] = d["kf_depth"]
     ks.obs_lm[:nk] = d["kf_obs_lm"]
-    for p, kf, feat in d["obs"]:
-        m.lm_obs[int(p)][int(kf)] = int(feat)
-    for a, b, w in d["covis"]:
-        m.covis[int(a)][int(b)] = int(w)
     for a, b in d["parent"]:
         m.parent[int(a)] = int(b)
-        m.children[int(b)].add(int(a))
+        m.children.setdefault(int(b), set()).add(int(a))
     for a, b in d["loops"]:
-        m.loop_edges[int(a)].add(int(b))
+        m.loop_edges.setdefault(int(a), set()).add(int(b))
+    if "dead" in d:
+        for k, p, T in zip(d["dead"], d["dead_parent"], d["dead_Tcp"]):
+            m.dead_anchor[int(k)] = (int(p), np.asarray(T, np.float32))
+    # rebuild the native inverse index + covisibility from the dense
+    # observation table (recounts n_obs; saved lm_n_obs is redundant)
+    m.rebuild_core()
     return m

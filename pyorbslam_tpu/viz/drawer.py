@@ -77,14 +77,12 @@ def draw_map(
                 c="tab:blue", lw=0.8)
         ax.scatter([Ow[0]], [Ow[2]], s=6, c="tab:blue")
 
-    for a, nbrs in m.covis.items():
-        if a not in centers:
-            continue
-        for b, w in nbrs.items():
-            if b > a and w >= covis_weight_th and b in centers:
-                ax.plot([centers[a][0], centers[b][0]],
-                        [centers[a][2], centers[b][2]], c="green",
-                        lw=0.5, alpha=0.5)
+    ca, cb, cw = m.core.covis_edges()
+    for a, b, w in zip(ca.tolist(), cb.tolist(), cw.tolist()):
+        if w >= covis_weight_th and a in centers and b in centers:
+            ax.plot([centers[a][0], centers[b][0]],
+                    [centers[a][2], centers[b][2]], c="green",
+                    lw=0.5, alpha=0.5)
     for child, parent in m.parent.items():
         if child in centers and parent in centers:
             ax.plot([centers[child][0], centers[parent][0]],

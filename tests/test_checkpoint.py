@@ -40,8 +40,24 @@ class TestCheckpoint:
             m2.landmarks.pos[: m2.landmarks.n],
             sysm.map.landmarks.pos[: sysm.map.landmarks.n],
         )
-        assert m2.covis == sysm.map.covis
-        assert m2.lm_obs == sysm.map.lm_obs
+        np.testing.assert_array_equal(
+            m2.keyframes.obs_lm[: m2.keyframes.n],
+            sysm.map.keyframes.obs_lm[: sysm.map.keyframes.n],
+        )
+        # rebuilt covisibility must be a FRESH recount of the restored
+        # observation table (live maps carry stale weights: the reference
+        # also recounts only on update_connections)
+        obs = m2.keyframes.obs_lm[: m2.keyframes.n]
+        a2, b2, w2 = m2.core.covis_edges()
+        got = {(a, b): w for a, b, w in zip(a2.tolist(), b2.tolist(),
+                                           w2.tolist())}
+        from collections import Counter
+        for (a, b), w in list(got.items())[:50]:
+            ca = Counter(obs[a][obs[a] >= 0].tolist())
+            cb = Counter(obs[b][obs[b] >= 0].tolist())
+            expect = sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
+            assert w == expect, (a, b, w, expect)
+        assert m2.parent == sysm.map.parent
 
         # resume: swap the reloaded map in and keep tracking
         sysm.map = m2

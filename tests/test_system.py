@@ -46,13 +46,16 @@ class TestSystem:
         sysm, _, _, _ = loop_run
         m = sysm.map
         assert m.keyframes.n >= 3
-        # covisibility symmetry
-        for k, nbrs in m.covis.items():
-            for o, w in nbrs.items():
-                assert m.covis[o].get(k) == w
-        # observation cross-consistency: lm_obs matches obs_lm
-        for lm, obs in list(m.lm_obs.items())[:500]:
-            for kf, feat in obs.items():
+        # covisibility symmetry (native core)
+        ca, cb, cw = m.core.covis_edges()
+        for a, b, w in zip(ca.tolist(), cb.tolist(), cw.tolist()):
+            assert m.core.covis_weight(b, a) == w
+        # observation cross-consistency: native inverse index matches the
+        # dense obs_lm table
+        ids = m.core.observed_landmarks(m.landmarks.n)
+        for lm in ids[:500]:
+            kfs, feats = m.core.observers(int(lm))
+            for kf, feat in zip(kfs.tolist(), feats.tolist()):
                 assert m.keyframes.obs_lm[kf, feat] == lm
         # every alive landmark referenced from some KF has sane geometry
         alive = np.nonzero(m.landmarks.alive[:m.landmarks.n])[0]
@@ -146,3 +149,26 @@ class TestWindowedTracking:
         assert ate_w < max(3.0 * ate_pf, 0.05), (ate_pf, ate_w)
         # keyframes were still created inside windows
         assert sys_w.map.keyframes.n >= 3
+
+    def test_pipelined_window_matches_per_frame_quality(self, data_cache_dir):
+        """window_feed/window_flush (the deployment driver: the chip
+        scans window N+1 while the host maps window N) must land in the
+        per-frame accuracy class."""
+        seq = generate_sequence(
+            n_frames=28, width=512, height=160, trajectory="straight",
+            speed=0.8, seed=3, cache_dir=data_cache_dir,
+        )
+        cfg = make_cfg(seq)
+        sysm = System(cfg)
+        W = 4
+        n_final = 0
+        for w0 in range(0, 28, W):
+            n_final += len(sysm.window_feed(
+                seq.left[w0: w0 + W], seq.right[w0: w0 + W],
+                seq.timestamps[w0: w0 + W]))
+        n_final += len(sysm.window_flush())
+        assert n_final == 28
+        assert len(sysm.trajectory) == 28
+        est = np.linalg.inv(sysm.corrected_trajectory())
+        ate = ate_rmse(est, seq.poses_wc)
+        assert ate < 0.15, ate
