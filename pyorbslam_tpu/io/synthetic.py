@@ -170,11 +170,13 @@ def straight_trajectory(n_frames: int, speed: float = 1.0, yaw_amp: float = 0.04
     return poses
 
 
-def loop_trajectory(n_frames: int, radius: float = 18.0) -> np.ndarray:
-    """A full circle returning to the start (for loop-closure tests)."""
+def loop_trajectory(n_frames: int, radius: float = 18.0,
+                    laps: float = 1.0) -> np.ndarray:
+    """``laps`` circles returning past the start (for loop-closure tests;
+    laps > 1 produces repeated revisits — multi-loop-event sequences)."""
     poses = np.tile(np.eye(4), (n_frames, 1, 1))
     for i in range(n_frames):
-        ang = 2 * np.pi * i / n_frames
+        ang = 2 * np.pi * laps * i / n_frames
         # camera center moves on a circle in the x-z plane, heading tangent
         cxp = radius * np.sin(ang)
         czp = radius * (1 - np.cos(ang))
@@ -211,6 +213,7 @@ def generate_sequence(
     cache_dir: Optional[str] = None,
     scene_width: float = 16.0,
     loop_radius: float = 18.0,
+    laps: float = 1.0,
 ) -> SyntheticSequence:
     """Render (and optionally disk-cache) a synthetic stereo sequence.
 
@@ -219,10 +222,11 @@ def generate_sequence(
     """
     if trajectory == "loop" and scene_width < 2 * loop_radius + 6:
         scene_width = 2 * loop_radius + 12.0
-    fx = 0.58 * width  # KITTI-like FOV
+    fx = 0.58 * width  # KITTI-like FOV  [generate_sequence]
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
     key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
-           f"_{scene_width}_{loop_radius}_v5")
+           f"_{scene_width}_{loop_radius}_v5"
+           + (f"_l{laps}" if laps != 1.0 else ""))
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
@@ -246,7 +250,7 @@ def generate_sequence(
     if trajectory == "straight":
         poses = straight_trajectory(n_frames, speed=speed)
     elif trajectory == "loop":
-        poses = loop_trajectory(n_frames, radius=loop_radius)
+        poses = loop_trajectory(n_frames, radius=loop_radius, laps=laps)
     else:
         raise ValueError(f"unknown trajectory {trajectory!r}")
 
@@ -270,3 +274,59 @@ def generate_sequence(
         left=lefts, right=rights, poses_wc=poses, K=K,
         baseline=baseline, timestamps=times,
     )
+
+
+@dataclasses.dataclass
+class SyntheticStream:
+    """Lazily-rendered synthetic sequence for LONG runs (a 4500-frame
+    KITTI-00-shaped sequence does not fit in RAM pre-rendered): poses and
+    the world are built once, frames render on demand."""
+
+    n_frames: int
+    width: int = 1241
+    height: int = 376
+    baseline: float = 0.54
+    trajectory: str = "loop"
+    speed: float = 0.8
+    seed: int = 0
+    loop_radius: float = 60.0
+    laps: float = 1.0
+
+    def __post_init__(self):
+        scene_width = 16.0
+        if self.trajectory == "loop":
+            scene_width = 2 * self.loop_radius + 12.0
+            tex_size = 2048
+            px_per_m = 2048.0 / (4.0 * self.loop_radius + 16.0)
+        else:
+            tex_size, px_per_m = 1024, 48.0
+        fx = 0.58 * self.width
+        self.K = np.array([
+            [fx, 0, self.width / 2.0],
+            [0, fx, self.height / 2.0 - 10.0],
+            [0, 0, 1]])
+        self.bf = fx * self.baseline
+        self._tex = make_texture(tex_size, seed=self.seed)
+        self._planes = corridor_scene(width_m=scene_width,
+                                      tex_px_per_m=px_per_m)
+        if self.trajectory == "straight":
+            self.poses_wc = straight_trajectory(self.n_frames,
+                                                speed=self.speed)
+        elif self.trajectory == "loop":
+            self.poses_wc = loop_trajectory(
+                self.n_frames, radius=self.loop_radius, laps=self.laps)
+        else:
+            raise ValueError(f"unknown trajectory {self.trajectory!r}")
+        self.timestamps = np.arange(self.n_frames, dtype=np.float64) * 0.1
+
+    def frame(self, i: int):
+        """Render stereo pair i -> (left, right) float32 arrays."""
+        Twc = self.poses_wc[i]
+        left = render_view(Twc, self.K, self.width, self.height,
+                           self._planes, self._tex)
+        Twc_r = Twc.copy()
+        Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array(
+            [self.baseline, 0.0, 0.0])
+        right = render_view(Twc_r, self.K, self.width, self.height,
+                            self._planes, self._tex)
+        return left, right

@@ -184,19 +184,25 @@ def match_by_bow(
     f_active: jnp.ndarray,
     ratio: float = 0.7,
     max_dist_th: int = TH_LOW,
+    node_gate: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """BoW-guided matching (ORBMatcher.search_by_BoW_kf_f:21-118): only
     descriptor pairs sharing a vocabulary node are compared, with the
     best/second-best ratio test at TH_LOW.  The node-bucket iteration of
     the reference becomes an equality mask over the full distance matrix.
 
+    ``node_gate=False`` drops the bucket constraint and matches over the
+    full matrix: the reference's node buckets exist to PRUNE the CPU
+    search (DBoW2's FeatureVector is an indexing trick, not semantics);
+    on the MXU the full Hamming matrix is one matmul, so exhaustive
+    matching with the same ratio/threshold gates is a strict superset.
+
     Returns (match_idx (Q,), dist (Q,), matched (Q,)).
     """
     dist = ham.hamming_matrix_bits(q_desc_bits, q_pop, f_desc_bits, f_pop)
-    mask = (
-        (q_node[:, None] == f_node[None, :])
-        & q_active[:, None] & f_active[None, :]
-    )
+    mask = q_active[:, None] & f_active[None, :]
+    if node_gate:
+        mask &= q_node[:, None] == f_node[None, :]
     BIG = 1_000_000
     dist = jnp.where(mask, dist, BIG)
     best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)

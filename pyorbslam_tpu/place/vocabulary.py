@@ -69,6 +69,15 @@ class Vocabulary:
             self.n_words = int((self.word_id >= 0).sum())
         self._device = None
 
+    @property
+    def feature_levels_up(self) -> int:
+        """levels_up placing the FeatureVector node at depth 2 (k^2
+        buckets) — the granularity DBoW2's ORBvoc gives BoW-guided
+        matching (k=10, L=6, levels_up=4 -> nodes two descents from the
+        root).  In :func:`_transform_jit` the recorded node sits at
+        depth (L - levels_up) + 1, so depth 2 needs levels_up = L - 1."""
+        return max(self.L - 1, 1)
+
     # ---------------- transform (device) ----------------
 
     def _device_arrays(self):
@@ -233,40 +242,59 @@ def _transform_jit(desc, node_desc, child_start, n_children, weight, word_id,
     return word_id[cur], weight[cur], feat_node
 
 
+_POPLUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
+
+
+def _hamming_u8(a_u8: np.ndarray, centers_u8: np.ndarray,
+                chunk: int = 1 << 15) -> np.ndarray:
+    """(N, 32) u8 x (k, 32) u8 -> (N, k) int32 Hamming, LUT + chunks."""
+    out = np.empty((len(a_u8), len(centers_u8)), np.int32)
+    for i in range(0, len(a_u8), chunk):
+        x = a_u8[i: i + chunk, None, :] ^ centers_u8[None, :, :]
+        out[i: i + chunk] = _POPLUT[x].sum(-1, dtype=np.int32)
+    return out
+
+
 def train(
     descriptors: np.ndarray, k: int = 10, L: int = 4, seed: int = 0,
     max_iters: int = 8,
 ) -> Vocabulary:
-    """k-majority binary k-means vocabulary training (DBoW2 construction)."""
+    """k-majority binary k-means vocabulary training (DBoW2 construction:
+    recursive k-means with bitwise-majority centroids, FORB.meanValue)."""
     rng = np.random.default_rng(seed)
     u8 = _unpack_u8(descriptors.astype(np.uint32))
-    bits = np.unpackbits(u8, axis=1, bitorder="little")  # (N, 256)
 
     nodes_desc: List[np.ndarray] = [np.zeros(8, np.uint32)]
     child_start: List[int] = [0]
     n_children: List[int] = [0]
-    level_of: List[int] = [0]
+
+    def majority(rows_u8: np.ndarray) -> np.ndarray:
+        bits = np.unpackbits(rows_u8, axis=1, bitorder="little")
+        return np.packbits((bits.mean(0) >= 0.5).astype(np.uint8),
+                           bitorder="little")
 
     def kmeans(idx: np.ndarray) -> List[np.ndarray]:
-        """Cluster rows bits[idx] into <= k groups; return index groups."""
+        """Cluster u8[idx] into <= k groups; returns index groups."""
         if len(idx) <= k:
             return [np.array([i]) for i in idx]
-        centers = bits[rng.choice(idx, k, replace=False)].astype(np.uint8)
+        centers = u8[rng.choice(idx, k, replace=False)].copy()
+        rows = u8[idx]
+        a = None
         for _ in range(max_iters):
-            d = (bits[idx][:, None, :] != centers[None, :, :]).sum(-1)
-            a = d.argmin(1)
-            new_centers = centers.copy()
-            for c in range(k):
-                members = idx[a == c]
-                if len(members):
-                    new_centers[c] = (bits[members].mean(0) >= 0.5).astype(np.uint8)
-            if (new_centers == centers).all():
+            d = _hamming_u8(rows, centers)
+            a_new = d.argmin(1)
+            if a is not None and (a_new == a).all():
                 break
-            centers = new_centers
+            a = a_new
+            for c in range(k):
+                members = rows[a == c]
+                if len(members):
+                    centers[c] = majority(members)
         return [idx[a == c] for c in range(k) if (a == c).any()]
 
     # BFS construction
-    queue: List[Tuple[int, np.ndarray, int]] = [(0, np.arange(len(bits)), 0)]
+    queue: List[Tuple[int, np.ndarray, int]] = [(0, np.arange(len(u8)), 0)]
     while queue:
         node, idx, level = queue.pop(0)
         if level == L or len(idx) == 0:
@@ -275,13 +303,11 @@ def train(
         child_start[node] = len(nodes_desc)
         n_children[node] = len(groups)
         for g in groups:
-            centroid_bits = (bits[g].mean(0) >= 0.5).astype(np.uint8)
-            centroid = _pack_u32(np.packbits(centroid_bits, bitorder="little")[None])[0]
+            centroid = _pack_u32(majority(u8[g])[None])[0]
             child = len(nodes_desc)
             nodes_desc.append(centroid)
             child_start.append(0)
             n_children.append(0)
-            level_of.append(level + 1)
             if level + 1 < L:
                 queue.append((child, g, level + 1))
 
@@ -292,10 +318,56 @@ def train(
     word_id = np.full(m, -1, np.int32)
     leaves = np.nonzero((cs == 0) & (np.arange(m) > 0))[0]
     word_id[leaves] = np.arange(len(leaves), dtype=np.int32)
-    # uniform idf weights (the reference's TF_IDF weights come from its
-    # training corpus; uniform keeps scoring meaningful for a fresh vocab)
+    # uniform idf weights until set_idf_weights is called with a corpus
+    # (the reference's TF_IDF weights come from its training corpus)
     weight = np.where(word_id >= 0, 1.0, 0.0).astype(np.float32)
     return Vocabulary(
         k=k, L=L, node_desc=node_desc, child_start=cs, n_children=nc,
         weight=weight, word_id=word_id, n_words=len(leaves),
     )
+
+
+def set_idf_weights(voc: Vocabulary, docs: List[np.ndarray]) -> None:
+    """Corpus idf per word: w_i = log(N_docs / n_i), n_i = #documents
+    containing word i (TemplatedVocabulary.create weighting=TF_IDF).
+    ``docs``: list of (N, 8) uint32 descriptor arrays, one per document
+    (training frame)."""
+    n_docs = len(docs)
+    counts = np.zeros(voc.n_words, np.int64)
+    for d in docs:
+        if len(d) == 0:
+            continue
+        word, _, _ = voc.transform(np.asarray(d, np.uint32))
+        word = word[word >= 0]
+        counts[np.unique(word)] += 1
+    idf = np.where(counts > 0, np.log(n_docs / np.maximum(counts, 1)), 0.0)
+    leaf = voc.word_id >= 0
+    voc.weight[leaf] = idf[voc.word_id[leaf]].astype(np.float32)
+    voc._device = None   # re-upload with the new weights
+
+
+def save_npz(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(
+        path, k=voc.k, L=voc.L, node_desc=voc.node_desc,
+        child_start=voc.child_start, n_children=voc.n_children,
+        weight=voc.weight, word_id=voc.word_id)
+
+
+def load_npz(path: str) -> Vocabulary:
+    d = np.load(path)
+    return Vocabulary(
+        k=int(d["k"]), L=int(d["L"]), node_desc=d["node_desc"],
+        child_start=d["child_start"], n_children=d["n_children"],
+        weight=d["weight"], word_id=d["word_id"])
+
+
+def load_default() -> Optional[Vocabulary]:
+    """The vocabulary asset shipped with the package (trained offline by
+    tools/train_vocab.py), or None when absent."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "orb_vocab.npz")
+    if not os.path.exists(path):
+        return None
+    return load_npz(path)

@@ -144,11 +144,14 @@ class LoopCloser:
                 & lm.alive[np.maximum(cur_lm, 0)]
             cand_ok = ks.kp_valid[cand] & (cand_lm >= 0) \
                 & lm.alive[np.maximum(cand_lm, 0)]
+            # exhaustive device matching (node_gate=False): the loop
+            # stage needs every available correspondence and the full
+            # Hamming matrix is one MXU matmul — see match_by_bow
             idx, dist, matched = match_ops.match_by_bow(
                 cur_bits, cur_pop, cur_node, jnp.asarray(cur_ok),
                 unpack_bits(cand_desc), popcount(cand_desc),
                 jnp.asarray(ks.kp_node[cand]), jnp.asarray(cand_ok),
-                ratio=0.75,
+                ratio=0.75, node_gate=False,
             )
             matched = np.asarray(matched)
             idx = np.asarray(idx)
@@ -488,26 +491,48 @@ class LoopCloser:
                 add_edge(ki, kj)
 
         if len(e_i) >= 2:
-            # dense normal-matrix solve for small graphs; matrix-free PCG
-            # (O(E+C) memory) once the map outgrows it
-            if C > self.cfg.ba.pose_graph_cg_threshold:
-                solver = functools.partial(
-                    optimize_pose_graph_cg,
-                    cg_iters=self.cfg.ba.pose_graph_cg_iters,
-                )
+            # solver ladder: dense normal-matrix solve for small graphs;
+            # above the CG threshold, the multi-device engine when a mesh
+            # is available (edges sharded, psum'd CG matvec,
+            # parallel/dist_pose_graph.py), else single-device
+            # matrix-free PCG (O(E+C) memory)
+            e_i_np = np.array(e_i, np.int32)
+            e_j_np = np.array(e_j, np.int32)
+            mR_np = np.stack(mR).astype(np.float32)
+            mt_np = np.stack(mt).astype(np.float32)
+            ms_np = np.array(msc, np.float32)
+            big = C > self.cfg.ba.pose_graph_cg_threshold
+            if big and len(jax.devices()) > 1:
+                from pyorbslam_tpu.parallel import dist_pose_graph
+                from pyorbslam_tpu.parallel.dist_ba import make_mesh
+
+                mesh = make_mesh()
+                pe = dist_pose_graph.pad_edges(
+                    mesh.shape["map"], e_i_np, e_j_np, mR_np, mt_np,
+                    ms_np, np.ones(len(e_i), bool))
+                reps, shds = dist_pose_graph.place_pose_graph(
+                    mesh, [Rs, tss, ss, fixed], list(pe))
+                res = dist_pose_graph.distributed_pose_graph(
+                    mesh, *reps, *shds,
+                    iters=self.cfg.ba.pose_graph_iters,
+                    cg_iters=self.cfg.ba.pose_graph_cg_iters)
             else:
-                solver = optimize_pose_graph
-            res = solver(
-                jnp.asarray(Rs), jnp.asarray(tss), jnp.asarray(ss),
-                jnp.asarray(fixed),
-                jnp.asarray(np.array(e_i, np.int32)),
-                jnp.asarray(np.array(e_j, np.int32)),
-                jnp.asarray(np.stack(mR).astype(np.float32)),
-                jnp.asarray(np.stack(mt).astype(np.float32)),
-                jnp.asarray(np.array(msc, np.float32)),
-                jnp.ones(len(e_i), bool),
-                iters=self.cfg.ba.pose_graph_iters,
-            )
+                if big:
+                    solver = functools.partial(
+                        optimize_pose_graph_cg,
+                        cg_iters=self.cfg.ba.pose_graph_cg_iters,
+                    )
+                else:
+                    solver = optimize_pose_graph
+                res = solver(
+                    jnp.asarray(Rs), jnp.asarray(tss), jnp.asarray(ss),
+                    jnp.asarray(fixed),
+                    jnp.asarray(e_i_np), jnp.asarray(e_j_np),
+                    jnp.asarray(mR_np), jnp.asarray(mt_np),
+                    jnp.asarray(ms_np),
+                    jnp.ones(len(e_i), bool),
+                    iters=self.cfg.ba.pose_graph_iters,
+                )
             newR = np.asarray(res.R)
             newt = np.asarray(res.t)
             news = np.asarray(res.s)

@@ -234,10 +234,17 @@ class SlamMap:
         pnt_ids = self.core.observed_landmarks(self.landmarks.n)
         if len(C_live) < 2 or len(pnt_ids) < 50:
             return dict(ran=False)
-        # beyond the dense engine's sweet spot the implicit-Schur CG
-        # engine takes over (no dense camera-point coupling; scales to
-        # the full KITTI-00 map)
-        engine = "cg" if len(C_live) > 96 else "dense"
+        # engine ladder: dense reduced system in the small-map regime;
+        # the multi-device sharded Schur engine when a mesh is available
+        # (landmarks/observations sharded, reduced camera system psum'd
+        # over ICI, parallel/dist_ba.py); otherwise single-device
+        # implicit-Schur CG, which scales to the full KITTI-00 map
+        if len(C_live) <= 96:
+            engine = "dense"
+        elif len(jax.devices()) > 1:
+            engine = "dist"
+        else:
+            engine = "cg"
         return self._run_ba(
             cams=C_live, n_free=len(C_live), pnt_ids=pnt_ids,
             iters1=self.cfg.ba.gba_iters, iters2=self.cfg.ba.gba_iters,
@@ -318,37 +325,76 @@ class SlamMap:
         oact[:n_obs] = True
 
         c = self.cfg.camera
-        prob = ba.BAProblem(
-            cam_Tcw=jnp.asarray(cam_Tcw),
-            cam_fixed=jnp.asarray(cam_fixed),
-            pnt_pos=jnp.asarray(pnt_pos),
-            pnt_active=jnp.asarray(pnt_active),
-            obs_cam=jnp.asarray(ocp),
-            obs_pnt=jnp.asarray(opp),
-            obs_uvr=jnp.asarray(ouvr),
-            obs_inv_sigma2=jnp.asarray(oisig),
-            obs_active=jnp.asarray(oact),
-            cam=jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf], jnp.float32),
-        )
-        if engine == "cg":
-            from pyorbslam_tpu.optim import ba_cg
+        cam5 = jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf], jnp.float32)
+        if engine == "dist":
+            # multi-device sharded Schur engine (parallel/dist_ba.py):
+            # observations regrouped so each lands on its point's owner
+            # shard; one psum of the reduced camera system per iteration
+            from pyorbslam_tpu.parallel import dist_ba
 
-            res = ba_cg.bundle_adjust_cg(prob, iters1=iters1, iters2=iters2)
+            mesh = dist_ba.make_mesh()
+            n_shards = mesh.shape["map"]
+            if P % n_shards:
+                P = (P // n_shards + 1) * n_shards
+                pnt_pos = np.zeros((P, 3), np.float32)
+                pnt_pos[: len(pnt_ids)] = self.landmarks.pos[pnt_ids]
+                pnt_active = np.zeros(P, bool)
+                pnt_active[: len(pnt_ids)] = True
+            new_pnt, (g_oc, g_uvr, g_isig), g_act = \
+                dist_ba.group_observations_by_point_shard(
+                    opp[:n_obs], P, n_shards,
+                    (ocp[:n_obs], ouvr[:n_obs], oisig[:n_obs]))
+            prob = ba.BAProblem(
+                cam_Tcw=jnp.asarray(cam_Tcw),
+                cam_fixed=jnp.asarray(cam_fixed),
+                pnt_pos=jnp.asarray(pnt_pos),
+                pnt_active=jnp.asarray(pnt_active),
+                obs_cam=jnp.asarray(g_oc),
+                obs_pnt=jnp.asarray(new_pnt),
+                obs_uvr=jnp.asarray(g_uvr),
+                obs_inv_sigma2=jnp.asarray(g_isig),
+                obs_active=jnp.asarray(g_act),
+                cam=cam5,
+            )
+            sharded = dist_ba.shard_problem(prob, mesh)
+            d_cam, d_pnt, _ = dist_ba.distributed_bundle_adjust(
+                sharded, mesh, n_cam=C, iters1=iters1, iters2=iters2)
+            new_Tcw = np.asarray(d_cam)
+            new_pos = np.asarray(d_pnt)
+            inlier = None
         else:
-            res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
+            prob = ba.BAProblem(
+                cam_Tcw=jnp.asarray(cam_Tcw),
+                cam_fixed=jnp.asarray(cam_fixed),
+                pnt_pos=jnp.asarray(pnt_pos),
+                pnt_active=jnp.asarray(pnt_active),
+                obs_cam=jnp.asarray(ocp),
+                obs_pnt=jnp.asarray(opp),
+                obs_uvr=jnp.asarray(ouvr),
+                obs_inv_sigma2=jnp.asarray(oisig),
+                obs_active=jnp.asarray(oact),
+                cam=cam5,
+            )
+            if engine == "cg":
+                from pyorbslam_tpu.optim import ba_cg
 
-        out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
-                                         res.obs_inlier))
-        new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
+                res = ba_cg.bundle_adjust_cg(prob, iters1=iters1,
+                                             iters2=iters2)
+            else:
+                res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
+            out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
+                                             res.obs_inlier))
+            new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
+            new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
+            inlier = out[16 * C + 3 * P:].astype(bool)
+
         for i in range(n_free):
             if not cam_fixed[i]:
                 ks.Tcw[cams[i]] = new_Tcw[i]
-        new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
         self.landmarks.pos[pnt_ids] = new_pos[: len(pnt_ids)]
 
-        inlier = out[16 * C + 3 * P:].astype(bool)
         n_erased = 0
-        if erase_outliers:
+        if erase_outliers and inlier is not None:
             for o in np.nonzero(~inlier[:n_obs])[0]:
                 self.core.erase_observation(int(pnt_ids[op[o]]), int(okf[o]))
                 n_erased += 1

@@ -410,8 +410,11 @@ class System:
         if n_valid <= min(500, self.cfg.orb.n_features // 4):
             return
         if self.vocabulary is None:
-            # no ORBvoc.txt available: train a scene vocabulary from the
-            # initial frame's descriptors (DBoW2 k-majority construction)
+            # prefer the shipped offline-trained vocabulary (corpus idf,
+            # tools/train_vocab.py); fall back to training a small scene
+            # vocabulary from the initial frame (DBoW2 k-majority)
+            self.vocabulary = vocab_mod.load_default()
+        if self.vocabulary is None:
             d = np.asarray(frame.desc)[np.asarray(frame.valid)]
             self.vocabulary = vocab_mod.train(d, k=10, L=3, seed=0)
         if self.kfdb is None:
@@ -666,7 +669,8 @@ class System:
     def _insert_keyframe(self, frame: StereoFrame, assign: np.ndarray,
                          timestamp: float, run_ba: bool):
         frame_np = self._frame_host(frame)
-        word, wweight, node = self.vocabulary.transform(frame.desc)
+        word, wweight, node = self.vocabulary.transform(
+            frame.desc, levels_up=self.vocabulary.feature_levels_up)
         kf = self.map.add_keyframe(
             frame_np, self.Tcw, assign, self.frame_id, timestamp,
             kp_node=node,
@@ -741,7 +745,8 @@ class System:
         q_active = (kf_lm >= 0) & lm.alive[np.maximum(kf_lm, 0)]
         if q_active.sum() < 15:
             return None
-        _, _, node = self.vocabulary.transform(frame.desc)
+        _, _, node = self.vocabulary.transform(
+            frame.desc, levels_up=self.vocabulary.feature_levels_up)
         kf_desc = jnp.asarray(ks.kp_desc[kf])
         idx, _, matched = match_ops.match_by_bow(
             unpack_bits(kf_desc), popcount(kf_desc),
@@ -793,7 +798,8 @@ class System:
         if self.kfdb is None or self.map.keyframes.n == 0:
             return None
         frame_valid = np.asarray(frame.valid)
-        word, wweight, node = self.vocabulary.transform(frame.desc)
+        word, wweight, node = self.vocabulary.transform(
+            frame.desc, levels_up=self.vocabulary.feature_levels_up)
         qbow = self.vocabulary.bow_vector(word, wweight, frame_valid)
         cands = self.kfdb.detect_relocalization_candidates(
             qbow, self.map.covisible_neighbors
