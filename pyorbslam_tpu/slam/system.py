@@ -38,6 +38,7 @@ from pyorbslam_tpu.slam.frame import (
 )
 from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import (
+    fused_retrack_step,
     fused_track_step,
     fused_track_window,
     local_track_step,
@@ -137,6 +138,7 @@ class System:
         self._mirror = None          # device-resident landmark blocks
         self._mirror_stale = True
         self._frame_cache = None     # (frame, host snapshot) of the last pull
+        self._vocab_cache = None     # (frame, (word, weight, node)) prefetch
         # windowed schedule: while committing a window the mapper counts
         # as BUSY (the reference's async LocalMapping while a queue
         # drains, LocalMapping.py:86-106) — keyframe insertion then needs
@@ -261,16 +263,31 @@ class System:
                 (np.linalg.inv(self.velocity) @ self.Tcw).astype(np.float32))
         else:
             frame0, q_lm0, Tlw0, Tllw0 = carry
+        voc = self.vocabulary
         packed, frames, carry_out = fused_track_window(
             images, *self._landmark_mirror(), frame0, q_lm0,
             jnp.asarray(p_ids), Tlw0, Tllw0, self.cfg,
+            voc_arrays=voc._device_arrays(),
+            voc_k=voc.k, voc_L=voc.L,
+            voc_levels_up=voc.feature_levels_up,
         )
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()   # overlap the read with the scan
         return dict(packed=packed, frames=frames, carry=carry_out,
+                    frame0=frame0,
                     lefts=lefts, rights=rights, timestamps=timestamps,
                     p_ids=p_ids, n_local=len(local_ids),
                     n_feat=int(q_lm0.shape[0]), base=None)
 
     def _commit_window(self, pending) -> np.ndarray:
+        """Process one scanned window.  Healthy frames commit the scan
+        pose directly.  A frame that needs a keyframe — or whose
+        scan anchoring weakened — is RE-ANCHORED on device first: one
+        local_track_packed dispatch re-optimizes its pose against the
+        CURRENT map, reusing the scan's extracted features (no ORB
+        re-extraction).  Only frames that stay weak after re-anchoring
+        (true tracking loss) fall back to the per-frame state machine
+        with its relocalization ladder."""
         timestamps = pending["timestamps"]
         lefts, rights = pending["lefts"], pending["rights"]
         p_ids = pending["p_ids"]
@@ -279,80 +296,97 @@ class System:
         W = len(timestamps)
         out = np.asarray(pending["packed"])   # ONE device->host transfer
         n_feat = pending["n_feat"]
+        N, P = n_feat, len(p_ids)
+        base_off = 21 + N + P
+        frames = pending["frames"]
         stats = out[:, :5]
-        # commit only the prefix of frames that stayed WELL-ANCHORED to the
-        # map (strong local-stage inlier count, healthy motion stage);
-        # everything after the first weakly-anchored frame re-tracks through
-        # the per-frame state machine, which inserts keyframes at full
-        # accuracy.  Committing weakly-anchored scan poses lets new
-        # landmarks inherit their error and the drift feeds back.
-        bad = (
-            (stats[:, 0] < 20) | (stats[:, 1] < 20)
-            | (stats[:, 2] < self.window_commit_min_inliers)
-        )
-        # frames that will need a keyframe also stop the commit prefix:
-        # a keyframe must anchor landmarks from a FRESH-map per-frame
-        # track, not a scan pose tracked against the window-stale map
-        # (the scan pose is fine for odometry, not for map insertion)
-        ks = self.map.keyframes
-        n_kfs = int(ks.alive[: ks.n].sum())
-        ref_matches = self._ref_kf_tracked_points()
+
+        base_raw, base_corr = pending["base"] or (None, None)
+        raw_last = out[W - 1, 5:21].copy().view(np.float32).reshape(4, 4)
         trk = self.cfg.tracking
+        poses = []
+        aborted = None
+        self._mapper_queue = 0   # window commit = mapper busy
         for i in range(W):
-            if bad[i]:
+            row = out[i]
+            if int(row[0]) < 20 or int(row[1]) < 20:
+                aborted = i        # motion tracking collapsed mid-scan
                 break
-            tp = int((out[i, 21: 21 + n_feat] >= 0).sum())
-            if need_new_keyframe(
-                n_inliers=tp, n_ref_matches=ref_matches, n_kfs=n_kfs,
-                frame_id=self.frame_id + 1 + i,
+            n_matches_i = int(row[0])
+            n_inliers = int(row[2])
+            assign = lm.resolve(row[21: 21 + N])
+            assign = np.where(
+                (assign >= 0) & lm.alive[np.maximum(assign, 0)], assign, -1)
+            p_visible = row[21 + N: 21 + N + P].astype(bool)
+            raw = row[5:21].copy().view(np.float32).reshape(4, 4)
+            Tcw_i = raw if base_raw is None \
+                else raw @ np.linalg.inv(base_raw) @ base_corr
+            Tcw_i = np.ascontiguousarray(Tcw_i, dtype=np.float32)
+            frame_i = jax.tree_util.tree_map(lambda a: a[i], frames)
+            snap = unpack_frame_np(
+                row[base_off: base_off + 16 * N].copy(), N)
+            tracked_close = int(row[3])
+            non_tracked_close = int(row[4])
+            n_local_i = local_n
+
+            # does this frame need a keyframe (busy-mapper gating), or
+            # did its map anchoring weaken below the commit bar?
+            ks = self.map.keyframes
+            needs_kf = need_new_keyframe(
+                n_inliers=int((assign >= 0).sum()),
+                n_ref_matches=self._ref_kf_tracked_points(),
+                n_kfs=int(ks.alive[: ks.n].sum()),
+                frame_id=self.frame_id + 1,
                 last_kf_frame=self.last_kf_frame,
                 last_reloc_frame=self.last_reloc_frame,
-                tracked_close=int(stats[i, 3]),
-                non_tracked_close=int(stats[i, 4]),
+                tracked_close=tracked_close,
+                non_tracked_close=non_tracked_close,
                 min_frames=trk.min_frames, max_frames=trk.max_frames,
-                mapper_idle=False, queue_len=0,
-            ):
-                bad[i] = True
-                break
-        n_ok = int(np.argmax(bad)) if bad.any() else W
+                mapper_idle=False, queue_len=self._mapper_queue,
+            )
+            if needs_kf or n_inliers < self.window_commit_min_inliers:
+                frame_prev = pending["frame0"] if i == 0 else \
+                    jax.tree_util.tree_map(lambda a: a[i - 1], frames)
+                re = self._retrack_window_frame(frame_i, frame_prev)
+                if re is None:
+                    # weak even against the fresh map: this stretch needs
+                    # the per-frame machine's full rescue ladder
+                    aborted = i
+                    break
+                (n_matches_i, n_inliers, Tcw_i, assign, p_ids_i,
+                 p_visible, tracked_close, non_tracked_close) = re
+                # the re-tracked pose leaves the raw scan chain: fold the
+                # delta into the base correction so later rows follow
+                base_raw = raw.copy()
+                base_corr = Tcw_i.copy()
+                p_vis_ids = p_ids_i
+                n_local_i = int((p_ids_i >= 0).sum())
+            else:
+                p_vis_ids = p_ids
 
-        poses = []
-        # when a mid-window keyframe's local BA (or a loop closure)
-        # refines the pose, the remaining scan poses — chained off the
-        # uncorrected estimate — get the correction as a relative
-        # transform: T_j' = (T_j · raw_i^-1) · corrected_i.  A pipelined
-        # window starts from the correction discovered while it was
-        # in flight (pending["base"]).
-        base_raw, base_corr = pending["base"] or (None, None)
-        frames = pending["frames"]
-        raw_last = out[W - 1, 5:21].copy().view(np.float32).reshape(4, 4)
-        self._mapper_queue = 0   # window commit = mapper busy
-        for i in range(n_ok):
             self.frame_id += 1
-            row = out[i]
-            n_inliers = int(row[2])
-            assign = row[21: 21 + n_feat].copy()
-            p_visible = row[21 + n_feat:].astype(bool)
-
-            vis_ids = p_ids[p_visible]
+            vis_ids = p_vis_ids[p_visible[: len(p_vis_ids)]]
             vis_ids = vis_ids[vis_ids >= 0]
             lm.visible[vis_ids] += 1
             found_ids = np.unique(assign[assign >= 0])
-            found_ids = found_ids[lm.alive[found_ids]]
             lm.found[found_ids] += 1
             lm.visible[found_ids] += 1
 
             self.state = "OK" if n_inliers >= 20 else "MARGINAL"
-            raw = row[5:21].copy().view(np.float32).reshape(4, 4)
-            Tcw_i = raw
-            if base_raw is not None:
-                Tcw_i = raw @ np.linalg.inv(base_raw) @ base_corr
             self.Tcw = np.ascontiguousarray(Tcw_i, dtype=np.float32)
-            frame_i = jax.tree_util.tree_map(lambda a: a[i], frames)
+            # prefetched host snapshot + BoW vectors: keyframe insertion
+            # reuses the window read instead of new device round trips
+            self._frame_cache = (frame_i, snap)
+            self._vocab_cache = (frame_i, (
+                row[base_off + 16 * N: base_off + 17 * N].copy(),
+                row[base_off + 17 * N: base_off + 18 * N].copy()
+                .view(np.float32),
+                row[base_off + 18 * N: base_off + 19 * N].copy(),
+            ))
             pre_kf_Tcw = self.Tcw.copy()
             self._finish_track(
-                frame_i, assign, int(row[0]), n_inliers,
-                int(row[3]), int(row[4]), local_n, timestamps[i],
+                frame_i, assign, n_matches_i, n_inliers,
+                tracked_close, non_tracked_close, n_local_i, timestamps[i],
             )
             if not np.allclose(self.Tcw, pre_kf_Tcw, atol=1e-7):
                 base_raw = raw.copy()
@@ -362,17 +396,48 @@ class System:
             Tcr = self.Tcw @ np.linalg.inv(self.map.keyframes.Tcw[ref])
             self.frame_refs.append((ref, Tcr.astype(np.float32)))
             poses.append(self.Tcw.copy())
-        # weakly-anchored tail re-tracks per frame, still under the
-        # window's busy-mapper keyframe gating
-        for i in range(n_ok, W):
-            poses.append(
-                self.track_stereo(lefts[i], rights[i], timestamps[i]))
+        if aborted is not None:
+            # true weakness: the per-frame machine (BoW fallback, wide
+            # rescue, relocalization) takes the rest of the window
+            for i in range(aborted, W):
+                poses.append(
+                    self.track_stereo(lefts[i], rights[i], timestamps[i]))
         self._mapper_queue = None   # mapper idle again
         # divergence between the raw scan chain (which any in-flight
         # window continued from) and the host's final pose for this
         # window's last frame — applied to the next pipelined commit
         self._scan_correction = (raw_last, self.Tcw.copy())
         return np.stack(poses)
+
+    def _retrack_window_frame(self, frame_i, frame_prev):
+        """Full tracking body (motion + local + pose opt) for one scanned
+        frame against the CURRENT map, reusing its extracted features —
+        the device re-track that precedes in-window keyframe insertion.
+        Returns (n_matches, n_inliers, Tcw, assign, p_ids, p_visible,
+        tracked_close, non_tracked_close) or None when weak."""
+        lm = self.map.landmarks
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        q_lm = lm.resolve(self.last_assign)
+        local_ids = self._local_point_ids(self.last_assign)
+        cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(local_ids)] = local_ids
+        packed = np.asarray(fused_retrack_step(
+            frame_i, *self._landmark_mirror(),
+            jnp.asarray(q_lm), frame_prev, jnp.asarray(p_ids),
+            jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw), self.cfg,
+        ))
+        N = q_lm.shape[0]
+        stats = packed[:5]
+        n_matches, n_in_motion, n_inliers = (int(x) for x in stats[:3])
+        if n_matches < 20 or n_in_motion < 20 or n_inliers < 20:
+            return None
+        Tcw = packed[5:21].copy().view(np.float32).reshape(4, 4)
+        assign = packed[21: 21 + N].copy()
+        p_visible = packed[21 + N:].astype(bool)
+        return (n_matches, n_inliers,
+                np.ascontiguousarray(Tcw, np.float32), assign, p_ids,
+                p_visible, int(stats[3]), int(stats[4]))
 
     def corrected_trajectory(self) -> np.ndarray:
         """Per-frame Tcw with all keyframe corrections applied.  Frames
@@ -669,8 +734,11 @@ class System:
     def _insert_keyframe(self, frame: StereoFrame, assign: np.ndarray,
                          timestamp: float, run_ba: bool):
         frame_np = self._frame_host(frame)
-        word, wweight, node = self.vocabulary.transform(
-            frame.desc, levels_up=self.vocabulary.feature_levels_up)
+        if self._vocab_cache is not None and self._vocab_cache[0] is frame:
+            word, wweight, node = self._vocab_cache[1]   # window prefetch
+        else:
+            word, wweight, node = self.vocabulary.transform(
+                frame.desc, levels_up=self.vocabulary.feature_levels_up)
         kf = self.map.add_keyframe(
             frame_np, self.Tcw, assign, self.frame_id, timestamp,
             kp_node=node,

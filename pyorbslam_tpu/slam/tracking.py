@@ -267,6 +267,26 @@ def local_track_step(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "th_base"))
+def fused_retrack_step(
+    frame: StereoFrame,
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+    q_lm, frame_prev: StereoFrame, p_ids, Tcw_pred, Tlw,
+    cfg: SlamConfig, th_base: float = 7.0,
+) -> jnp.ndarray:
+    """The full per-frame tracking body (:func:`_fused_track_core`:
+    motion-model + local-map matching + pose optimization) on an
+    ALREADY-EXTRACTED frame against the CURRENT landmark mirror —
+    the device-side re-track of a scan-tracked frame before keyframe
+    insertion.  Costs one dispatch + one packed read; skips the ORB
+    extraction the scan already did."""
+    packed, _, _ = _fused_track_core(
+        frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+        q_lm, frame_prev, p_ids, Tcw_pred, Tlw, cfg, th_base,
+    )
+    return packed
+
+
 class FusedTrackResult(NamedTuple):
     frame: StereoFrame        # the built frame (stays on device)
     packed: jnp.ndarray       # (5 + 16 + N + P,) int32 — everything the host
@@ -393,7 +413,8 @@ def _fused_track_core(
     return packed, Tcw_fin, assign
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "voc_k", "voc_L", "voc_levels_up"))
 def fused_track_window(
     images: jnp.ndarray,       # (W, 2, H, Wd) stereo pairs
     m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,   # landmark mirror
@@ -403,6 +424,9 @@ def fused_track_window(
     Tlw0: jnp.ndarray,         # (4, 4) last frame pose
     Tllw0: jnp.ndarray,        # (4, 4) pose before that (velocity seed)
     cfg: SlamConfig,
+    voc_arrays=None,           # (node_desc, child_start, n_children,
+    #                             weight, word_id) device vocab tree
+    voc_k: int = 0, voc_L: int = 0, voc_levels_up: int = 0,
 ):
     """Track a WINDOW of frames in one device program: ``lax.scan``
     carries (previous features, landmark assignment, pose pair) across
@@ -416,9 +440,19 @@ def fused_track_window(
     map that lags by however long mapping takes.  Keyframe decisions are
     made by the host AFTER the window from the per-frame packed stats.
 
-    Returns (stacked packed results (W, 21+N+P), stacked frames
-    (StereoFrame with leading W axis)).
+    Each packed row carries EVERYTHING the host might need — tracking
+    stats/pose/assignments, the frame's feature snapshot (pack_frame)
+    and, when a vocabulary is given, the BoW word/weight/node per
+    feature — so a whole window costs ONE device->host read no matter
+    how many keyframes it spawns:
+      [0:5] stats | [5:21] Tcw | [21:21+N] assign | [+P] p_visible |
+      [+16N] pack_frame | [+N] word | [+N] weight bits | [+N] node
+
+    Returns (stacked packed rows (W, row), stacked frames, final carry —
+    the carry stays ON DEVICE so the next window can be dispatched
+    without waiting for the host to process this one).
     """
+    from pyorbslam_tpu.place.vocabulary import _transform_jit
 
     def body(carry, lr):
         frame_prev, q_lm, Tlw, Tllw = carry
@@ -429,14 +463,24 @@ def fused_track_window(
             q_lm, frame_prev, p_ids,
             vel @ Tlw, Tlw, cfg,
         )
-        return (frame, assign, Tcw, Tlw), (packed, frame)
+        from pyorbslam_tpu.slam.frame import pack_frame
+
+        parts = [packed, pack_frame(frame)]
+        if voc_arrays is not None:
+            word, wweight, node = _transform_jit.__wrapped__(
+                frame.desc, *voc_arrays, voc_k, voc_L, voc_levels_up)
+            parts += [
+                word.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    wweight.astype(jnp.float32), jnp.int32),
+                node.astype(jnp.int32),
+            ]
+        row = jnp.concatenate(parts)
+        return (frame, assign, Tcw, Tlw), (row, frame)
 
     carry, (packed, frames) = jax.lax.scan(
         body, (last_frame, q_lm0, Tlw0, Tllw0), images
     )
-    # the final carry (last frame's features, landmark assignment, pose
-    # pair) stays ON DEVICE so the next window can be dispatched without
-    # waiting for the host to process this one (pipelined schedule)
     return packed, frames, carry
 
 

@@ -1,0 +1,73 @@
+"""Medium-scale integration: a multi-lap loop sequence through the
+pipelined windowed System with the CG pose-graph path forced — the CI
+stand-in for tools/eval_scale.py's KITTI-00-shaped run (which exercises
+the same code at 1000+ frames on hardware)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from pyorbslam_tpu.io.synthetic import generate_sequence
+from pyorbslam_tpu.slam.system import System
+from pyorbslam_tpu.utils.metrics import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def scale_run(data_cache_dir):
+    n = 120
+    seq = generate_sequence(
+        n_frames=n, width=512, height=160, trajectory="loop",
+        seed=11, laps=2.2, cache_dir=data_cache_dir)
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=float(seq.K[0, 0]), fy=float(seq.K[1, 1]),
+            cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
+            width=512, height=160, bf=seq.bf, th_depth=40.0),
+        orb=OrbConfig(n_features=1000),
+    )
+    # force the above-threshold solvers at this map size
+    cfg = dataclasses.replace(cfg, ba=dataclasses.replace(
+        cfg.ba, pose_graph_cg_threshold=16))
+    sysm = System(cfg)
+    W = 4
+    for w0 in range(0, n, W):
+        sysm.window_feed(seq.left[w0: w0 + W], seq.right[w0: w0 + W],
+                         seq.timestamps[w0: w0 + W])
+    sysm.window_flush()
+    return sysm, seq, n
+
+
+class TestScaleRun:
+    def test_completes_all_frames(self, scale_run):
+        sysm, seq, n = scale_run
+        assert len(sysm.trajectory) == n
+
+    def test_revisits_close_loops(self, scale_run):
+        sysm, _, _ = scale_run
+        assert sysm.loop_closer is not None
+        assert sysm.loop_closer.n_loops_closed >= 1
+
+    def test_ate_bounded_after_two_laps(self, scale_run):
+        sysm, seq, n = scale_run
+        est_wc = np.linalg.inv(sysm.corrected_trajectory())
+        ate = ate_rmse(est_wc, seq.poses_wc[:n])
+        track = np.linalg.norm(
+            np.diff(seq.poses_wc[:n, :3, 3], axis=0), axis=1).sum()
+        assert np.isfinite(ate)
+        assert ate < 0.01 * track, (ate, track)   # < 1% of path length
+
+    def test_numerics_stay_finite(self, scale_run):
+        sysm, _, _ = scale_run
+        m = sysm.map
+        ks = m.keyframes
+        assert np.isfinite(ks.Tcw[: ks.n]).all()
+        alive = np.nonzero(m.landmarks.alive[: m.landmarks.n])[0]
+        assert np.isfinite(m.landmarks.pos[alive]).all()
+
+    def test_culled_keyframes_still_exportable(self, scale_run):
+        sysm, _, n = scale_run
+        traj = sysm.corrected_trajectory()
+        assert traj.shape == (n, 4, 4)
+        assert np.isfinite(traj).all()

@@ -1,0 +1,100 @@
+"""Scale integration run: a KITTI-00-shaped synthetic sequence (hundreds
+to thousands of frames, multi-lap loop with repeated revisit events)
+through the FULL pipelined System — exercising keyframe culling, the CG
+pose graph and CG/distributed global BA at the map sizes they exist for.
+
+    python tools/eval_scale.py [--frames 1000] [--width 1241]
+        [--height 376] [--laps 2.2] [--window 8] [--cpu]
+
+Prints per-100-frame progress and a final JSON line with fps / ATE /
+map statistics.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--width", type=int, default=1241)
+    ap.add_argument("--height", type=int, default=376)
+    ap.add_argument("--features", type=int, default=2000)
+    ap.add_argument("--laps", type=float, default=2.2)
+    ap.add_argument("--radius", type=float, default=60.0)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from pyorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from pyorbslam_tpu.io.synthetic import SyntheticStream
+    from pyorbslam_tpu.slam.system import System
+    from pyorbslam_tpu.utils.metrics import ate_rmse
+
+    stream = SyntheticStream(
+        n_frames=args.frames, width=args.width, height=args.height,
+        trajectory="loop", loop_radius=args.radius, laps=args.laps)
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=float(stream.K[0, 0]), fy=float(stream.K[1, 1]),
+            cx=float(stream.K[0, 2]), cy=float(stream.K[1, 2]),
+            width=args.width, height=args.height, bf=stream.bf,
+            th_depth=40.0),
+        orb=OrbConfig(n_features=args.features),
+    )
+    sysm = System(cfg)
+    W = args.window
+    t0 = time.time()
+    render_s = 0.0
+    n = args.frames - args.frames % W
+    for w0 in range(0, n, W):
+        tr = time.time()
+        pairs = [stream.frame(w0 + j) for j in range(W)]
+        render_s += time.time() - tr
+        lefts = [p[0] for p in pairs]
+        rights = [p[1] for p in pairs]
+        sysm.window_feed(lefts, rights, stream.timestamps[w0: w0 + W])
+        if (w0 + W) % 100 < W:
+            ks = sysm.map.keyframes
+            print(f"frame {w0 + W}/{n}: kfs={int(ks.alive[:ks.n].sum())}"
+                  f"/{ks.n} lms={int(sysm.map.landmarks.alive.sum())}"
+                  f" loops={sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0}"
+                  f" state={sysm.state}"
+                  f" elapsed={time.time() - t0:.0f}s", flush=True)
+    sysm.window_flush()
+    dt = time.time() - t0 - render_s
+
+    est_wc = np.linalg.inv(sysm.corrected_trajectory())
+    ate = float(ate_rmse(est_wc, stream.poses_wc[:n]))
+    ks = sysm.map.keyframes
+    print(json.dumps({
+        "metric": "scale_run",
+        "frames": n, "fps": round(n / dt, 2), "ate_rmse_m": round(ate, 3),
+        "track_len_m": round(float(np.linalg.norm(
+            np.diff(stream.poses_wc[:n, :3, 3], axis=0), axis=1).sum()), 1),
+        "keyframes_alive": int(ks.alive[: ks.n].sum()),
+        "keyframes_total": int(ks.n),
+        "landmarks": int(sysm.map.landmarks.alive.sum()),
+        "loops_closed": (sysm.loop_closer.n_loops_closed
+                         if sysm.loop_closer else 0),
+        "render_s": round(render_s, 1), "slam_s": round(dt, 1),
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
