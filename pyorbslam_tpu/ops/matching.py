@@ -29,6 +29,8 @@ import jax.numpy as jnp
 
 from pyorbslam_tpu.ops import hamming as ham
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 TH_HIGH = 100
 TH_LOW = 50
 HISTO_LENGTH = 30
@@ -43,6 +45,7 @@ class Projection(NamedTuple):
     in_image: jnp.ndarray  # (Q,) bool: z > 0 and inside bounds
 
 
+@f32_matmuls
 def project_points(
     Tcw: jnp.ndarray, pts_w: jnp.ndarray, cam: jnp.ndarray,
     bounds: jnp.ndarray,
@@ -226,6 +229,7 @@ def match_by_bow(
     return jnp.where(matched, best_idx, -1), best, matched
 
 
+@f32_matmuls
 def sim3_mutual_match(
     # KF1 (current) side: landmark geometry per feature slot
     p1_pos: jnp.ndarray,       # (N1, 3) world pos of slot's landmark

@@ -33,6 +33,8 @@ import numpy as np
 
 from pyorbslam_tpu.geometry import se3
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 CHI2_STEREO = 7.815
 HUBER_DELTA = float(np.sqrt(CHI2_STEREO))
 
@@ -60,6 +62,7 @@ class BAResult(NamedTuple):
     obs_inlier: jnp.ndarray    # survived the final gate
 
 
+@f32_matmuls
 def _residuals(prob: BAProblem, cam_Tcw, pnt_pos):
     """Residuals (O, 3), Jacobians Jc (O, 3, 6), Jp (O, 3, 3), depth (O,)."""
     fx, fy, cx, cy, bf = (prob.cam[i] for i in range(5))
@@ -127,6 +130,7 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
+@f32_matmuls
 def _lm_iteration(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
     n_cam = cam_Tcw.shape[0]
     n_pnt = pnt_pos.shape[0]
@@ -207,6 +211,7 @@ def _lm_iteration(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
 
 
 @functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
+@f32_matmuls
 def bundle_adjust(prob: BAProblem, iters1: int = 5, iters2: int = 10) -> BAResult:
     """Local/global BA with the reference's two-phase gating schedule."""
     active = prob.obs_active.astype(jnp.float32)

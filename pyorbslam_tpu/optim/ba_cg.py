@@ -50,6 +50,8 @@ from pyorbslam_tpu.optim.ba import (
     _robust_cost,
 )
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 
 def _schur_blocks(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
     """Assemble the block pieces of the damped normal equations."""
@@ -198,6 +200,7 @@ def _lm_iteration_cg(prob: BAProblem, cam_Tcw, pnt_pos, active, lam,
 
 
 @functools.partial(jax.jit, static_argnames=("iters1", "iters2", "cg_iters"))
+@f32_matmuls
 def bundle_adjust_cg(prob: BAProblem, iters1: int = 5, iters2: int = 10,
                      cg_iters: int = 64) -> BAResult:
     """Drop-in replacement for :func:`ba.bundle_adjust` at global scale:

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 
 def _control_points(Xw: jnp.ndarray) -> jnp.ndarray:
     """World control points: centroid + scaled PCA axes. Xw: (n, 3) -> (4, 3)."""
@@ -200,6 +202,7 @@ class PnPResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyp",))
+@f32_matmuls
 def epnp_ransac(
     Xw: jnp.ndarray,          # (N, 3) world points
     uv: jnp.ndarray,          # (N, 2) observations

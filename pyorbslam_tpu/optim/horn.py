@@ -21,6 +21,8 @@ import jax.numpy as jnp
 
 from pyorbslam_tpu.geometry.sim3 import Sim3
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 
 def horn_align(P: jnp.ndarray, Q: jnp.ndarray, with_scale: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -59,6 +61,7 @@ class Sim3RansacResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyp", "with_scale"))
+@f32_matmuls
 def sim3_ransac(
     X1: jnp.ndarray,         # (N, 3) camera-1-frame points
     X2: jnp.ndarray,         # (N, 3) matched camera-2-frame points

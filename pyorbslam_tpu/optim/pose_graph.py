@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from pyorbslam_tpu.geometry import sim3 as sim3_mod
 from pyorbslam_tpu.geometry.sim3 import Sim3
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 
 class PoseGraphResult(NamedTuple):
     R: jnp.ndarray    # (C, 3, 3) corrected Siw rotations
@@ -101,6 +103,7 @@ def _accept_step(state, dx, fixed, e_i, e_j, meas, e_active, lam):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@f32_matmuls
 def optimize_pose_graph(
     R: jnp.ndarray,          # (C, 3, 3) initial Siw
     t: jnp.ndarray,          # (C, 3)
@@ -150,6 +153,7 @@ def optimize_pose_graph(
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "cg_iters"))
+@f32_matmuls
 def optimize_pose_graph_cg(
     R: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray, fixed: jnp.ndarray,
     e_i: jnp.ndarray, e_j: jnp.ndarray,

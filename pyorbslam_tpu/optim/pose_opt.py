@@ -28,6 +28,8 @@ import numpy as np
 
 from pyorbslam_tpu.geometry import se3
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 CHI2_STEREO = 7.815
 
 
@@ -80,6 +82,7 @@ def _huber_weight(chi2: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.where(chi2 <= delta * delta, 1.0, delta / sqrt_chi)
 
 
+@f32_matmuls
 def _lm_rounds(
     Tcw0, Xw, obs, inv_sigma2, active, cam, iters, use_huber, delta,
 ):
@@ -124,6 +127,7 @@ def _lm_rounds(
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+@f32_matmuls
 def pose_optimization(
     Tcw0: jnp.ndarray,        # (4, 4) initial pose
     Xw: jnp.ndarray,          # (N, 3) map point world positions

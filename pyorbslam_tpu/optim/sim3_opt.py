@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from pyorbslam_tpu.geometry import sim3 as sim3_mod
 from pyorbslam_tpu.geometry.sim3 import Sim3
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 
 class Sim3OptResult(NamedTuple):
     R: jnp.ndarray
@@ -44,6 +46,7 @@ def _residuals(params: Sim3, X1c, X2c, obs1, obs2, cam4):
 
 
 @functools.partial(jax.jit, static_argnames=("fix_scale", "iters1", "iters2"))
+@f32_matmuls
 def optimize_sim3(
     S12_R: jnp.ndarray, S12_t: jnp.ndarray, S12_s: jnp.ndarray,
     X1c: jnp.ndarray,        # (M, 3) matched points in camera-1 frame

@@ -33,7 +33,10 @@ from pyorbslam_tpu.ops import triangulation as tri_ops
 from pyorbslam_tpu.ops.hamming import popcount, unpack_bits
 from pyorbslam_tpu.slam.slam_map import SlamMap
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
 
+
+@f32_matmuls
 def _fuse_match_one(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
     f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right,

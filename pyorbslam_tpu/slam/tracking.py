@@ -40,6 +40,8 @@ from pyorbslam_tpu.slam.frame import (
 )
 from pyorbslam_tpu.slam.mapstore import LandmarkStore
 
+from pyorbslam_tpu.utils.precision import f32_matmuls
+
 
 class TrackStepResult(NamedTuple):
     Tcw: jnp.ndarray          # (4, 4) optimized pose
@@ -341,6 +343,7 @@ def fused_track_step(
     return FusedTrackResult(frame=frame, packed=packed)
 
 
+@f32_matmuls
 def _fused_track_core(
     frame: StereoFrame,
     m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
@@ -457,7 +460,8 @@ def fused_track_window(
     def body(carry, lr):
         frame_prev, q_lm, Tlw, Tllw = carry
         frame = build_stereo_frame(lr[0], lr[1], cfg)
-        vel = Tlw @ se3.inverse(Tllw)
+        with jax.default_matmul_precision("float32"):
+            vel = Tlw @ se3.inverse(Tllw)
         packed, Tcw, assign = _fused_track_core(
             frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
             q_lm, frame_prev, p_ids,
