@@ -188,9 +188,15 @@ def loop_trajectory(n_frames: int, radius: float = 18.0,
     return poses
 
 
+def _to_u8(img_f32: np.ndarray) -> np.ndarray:
+    """Quantize a rendered [0,255] float image to uint8 — the dtype real
+    KITTI frames arrive in, and a 4x cheaper host->device transfer."""
+    return (np.clip(img_f32, 0, 255) + 0.5).astype(np.uint8)
+
+
 @dataclasses.dataclass
 class SyntheticSequence:
-    left: np.ndarray        # (N, H, W) float32
+    left: np.ndarray        # (N, H, W) uint8 (KITTI pngs are 8-bit)
     right: np.ndarray
     poses_wc: np.ndarray    # (N, 4, 4) ground-truth Twc (left camera)
     K: np.ndarray           # (3, 3)
@@ -222,10 +228,17 @@ def generate_sequence(
     """
     if trajectory == "loop" and scene_width < 2 * loop_radius + 6:
         scene_width = 2 * loop_radius + 12.0
+    if trajectory == "straight":
+        # the sinusoidal-yaw "straight" path wanders laterally as it
+        # integrates; the corridor must CONTAIN it (a camera that crosses
+        # a wall sees degenerate geometry and kidnaps the tracker)
+        x_extent = float(
+            np.abs(straight_trajectory(n_frames, speed=speed)[:, 0, 3]).max())
+        scene_width = max(scene_width, 2 * x_extent + 10.0)
     fx = 0.58 * width  # KITTI-like FOV  [generate_sequence]
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
     key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
-           f"_{scene_width}_{loop_radius}_v5"
+           f"_{scene_width}_{loop_radius}_v6"
            + (f"_l{laps}" if laps != 1.0 else ""))
     cache_path = None
     if cache_dir is not None:
@@ -254,15 +267,15 @@ def generate_sequence(
     else:
         raise ValueError(f"unknown trajectory {trajectory!r}")
 
-    lefts = np.empty((n_frames, height, width), np.float32)
-    rights = np.empty((n_frames, height, width), np.float32)
+    lefts = np.empty((n_frames, height, width), np.uint8)
+    rights = np.empty((n_frames, height, width), np.uint8)
     right_offset = np.array([baseline, 0.0, 0.0])
     for i in range(n_frames):
         Twc = poses[i]
-        lefts[i] = render_view(Twc, K, width, height, planes, tex)
+        lefts[i] = _to_u8(render_view(Twc, K, width, height, planes, tex))
         Twc_r = Twc.copy()
         Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ right_offset
-        rights[i] = render_view(Twc_r, K, width, height, planes, tex)
+        rights[i] = _to_u8(render_view(Twc_r, K, width, height, planes, tex))
 
     times = np.arange(n_frames, dtype=np.float64) * 0.1
     if cache_path is not None:
@@ -300,6 +313,10 @@ class SyntheticStream:
             px_per_m = 2048.0 / (4.0 * self.loop_radius + 16.0)
         else:
             tex_size, px_per_m = 1024, 48.0
+            x_extent = float(np.abs(
+                straight_trajectory(self.n_frames,
+                                    speed=self.speed)[:, 0, 3]).max())
+            scene_width = max(scene_width, 2 * x_extent + 10.0)
         fx = 0.58 * self.width
         self.K = np.array([
             [fx, 0, self.width / 2.0],
@@ -320,7 +337,7 @@ class SyntheticStream:
         self.timestamps = np.arange(self.n_frames, dtype=np.float64) * 0.1
 
     def frame(self, i: int):
-        """Render stereo pair i -> (left, right) float32 arrays."""
+        """Render stereo pair i -> (left, right) uint8 arrays."""
         Twc = self.poses_wc[i]
         left = render_view(Twc, self.K, self.width, self.height,
                            self._planes, self._tex)
@@ -329,4 +346,4 @@ class SyntheticStream:
             [self.baseline, 0.0, 0.0])
         right = render_view(Twc_r, self.K, self.width, self.height,
                             self._planes, self._tex)
-        return left, right
+        return _to_u8(left), _to_u8(right)

@@ -53,8 +53,18 @@ from pyorbslam_tpu.optim.ba import (
 from pyorbslam_tpu.utils.precision import f32_matmuls
 
 
-def _schur_blocks(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
-    """Assemble the block pieces of the damped normal equations."""
+def _psum(x, axis):
+    """psum over a shard_map mesh axis, or identity single-device."""
+    return x if axis is None else jax.lax.psum(x, axis)
+
+
+def _schur_blocks(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber,
+                  axis=None):
+    """Assemble the block pieces of the damped normal equations.
+
+    With ``axis`` set (inside shard_map over a point/observation-sharded
+    mesh), camera-space reductions are psum'd over the mesh — cameras are
+    replicated, points/observations stay shard-local."""
     n_cam = cam_Tcw.shape[0]
     n_pnt = pnt_pos.shape[0]
     e, Jc, Jp, _ = _residuals(prob, cam_Tcw, pnt_pos)
@@ -62,13 +72,13 @@ def _schur_blocks(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
     w = _huber_w(chi2, HUBER_DELTA) if use_huber else jnp.ones_like(chi2)
     w = w * prob.obs_inv_sigma2 * active
 
-    Hcc = jax.ops.segment_sum(
+    Hcc = _psum(jax.ops.segment_sum(
         w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jc),
         prob.obs_cam, num_segments=n_cam,
-    )
-    bc = jax.ops.segment_sum(
+    ), axis)
+    bc = _psum(jax.ops.segment_sum(
         w[:, None] * jnp.einsum("oij,oi->oj", Jc, e), prob.obs_cam, n_cam
-    )
+    ), axis)
     Hpp = jax.ops.segment_sum(
         w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp),
         prob.obs_pnt, num_segments=n_pnt,
@@ -85,11 +95,11 @@ def _schur_blocks(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
     return Hcc_d, bc, Hpp_inv, bp, W
 
 
-def _make_matvec(prob: BAProblem, Hcc_d, Hpp_inv, W, free):
+def _make_matvec(prob: BAProblem, Hcc_d, Hpp_inv, W, free, axis=None):
     n_cam = Hcc_d.shape[0]
     n_pnt = Hpp_inv.shape[0]
 
-    def matvec(v):  # v: (C, 6)
+    def matvec(v):  # v: (C, 6) replicated across shards
         vf = v * free[:, None]
         y1 = jnp.einsum("cij,cj->ci", Hcc_d, vf)
         wt_v = jax.ops.segment_sum(
@@ -97,10 +107,10 @@ def _make_matvec(prob: BAProblem, Hcc_d, Hpp_inv, W, free):
             prob.obs_pnt, num_segments=n_pnt,
         )                                             # (P, 3) = W^T v
         t = jnp.einsum("pij,pj->pi", Hpp_inv, wt_v)   # Hpp^-1 W^T v
-        y2 = jax.ops.segment_sum(
+        y2 = _psum(jax.ops.segment_sum(
             jnp.einsum("oij,oj->oi", W, t[prob.obs_pnt]),
             prob.obs_cam, num_segments=n_cam,
-        )                                             # (C, 6)
+        ), axis)                                      # (C, 6)
         y = (y1 - y2) * free[:, None]
         return y + v * (1.0 - free)[:, None]          # identity on fixed
 
@@ -142,28 +152,28 @@ def _pcg(matvec, b, Minv, iters):
 
 
 def _lm_iteration_cg(prob: BAProblem, cam_Tcw, pnt_pos, active, lam,
-                     use_huber, cg_iters):
+                     use_huber, cg_iters, axis=None):
     n_pnt = pnt_pos.shape[0]
     free = (~prob.cam_fixed).astype(jnp.float32)
 
     Hcc_d, bc, Hpp_inv, bp, W = _schur_blocks(
-        prob, cam_Tcw, pnt_pos, active, lam, use_huber
+        prob, cam_Tcw, pnt_pos, active, lam, use_huber, axis
     )
-    matvec = _make_matvec(prob, Hcc_d, Hpp_inv, W, free)
+    matvec = _make_matvec(prob, Hcc_d, Hpp_inv, W, free, axis)
 
     # rhs = bc - W Hpp^-1 bp, zeroed on fixed cameras
     t = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
-    rhs = bc - jax.ops.segment_sum(
+    rhs = bc - _psum(jax.ops.segment_sum(
         jnp.einsum("oij,oj->oi", W, t[prob.obs_pnt]),
         prob.obs_cam, num_segments=Hcc_d.shape[0],
-    )
+    ), axis)
     rhs = rhs * free[:, None]
 
     # exact 6x6 diagonal blocks of S for the preconditioner
-    WHW = jax.ops.segment_sum(
+    WHW = _psum(jax.ops.segment_sum(
         jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_pnt], W),
         prob.obs_cam, num_segments=Hcc_d.shape[0],
-    )
+    ), axis)
     S_diag = Hcc_d - WHW
     S_diag = (
         S_diag * free[:, None, None]
@@ -190,7 +200,8 @@ def _lm_iteration_cg(prob: BAProblem, cam_Tcw, pnt_pos, active, lam,
     def total_cost(cT, pP):
         e2, _, _, _ = _residuals(prob, cT, pP)
         c2 = jnp.sum(e2 * e2, axis=-1) * prob.obs_inv_sigma2
-        return jnp.sum(_robust_cost(c2, HUBER_DELTA, use_huber) * active)
+        return _psum(
+            jnp.sum(_robust_cost(c2, HUBER_DELTA, use_huber) * active), axis)
 
     improved = total_cost(cam_new, pnt_new) < total_cost(cam_Tcw, pnt_pos)
     cam_out = jnp.where(improved, cam_new, cam_Tcw)
@@ -199,19 +210,19 @@ def _lm_iteration_cg(prob: BAProblem, cam_Tcw, pnt_pos, active, lam,
     return cam_out, pnt_out, lam
 
 
-@functools.partial(jax.jit, static_argnames=("iters1", "iters2", "cg_iters"))
 @f32_matmuls
-def bundle_adjust_cg(prob: BAProblem, iters1: int = 5, iters2: int = 10,
-                     cg_iters: int = 64) -> BAResult:
-    """Drop-in replacement for :func:`ba.bundle_adjust` at global scale:
-    same two-phase Huber/gating schedule (Optimizer.py:318-353), inexact
-    LM steps via preconditioned CG on the implicit Schur complement."""
+def _bundle_adjust_cg_core(prob: BAProblem, iters1: int, iters2: int,
+                           cg_iters: int, axis=None) -> BAResult:
+    """Shared body of :func:`bundle_adjust_cg`; with ``axis`` set it runs
+    inside shard_map over a point/observation-sharded mesh (cameras
+    replicated, one (C,6) psum per CG step — parallel/dist_ba.py)."""
     active = prob.obs_active.astype(jnp.float32)
 
     def phase(carry, iters, use_huber, act):
         def body(_, st):
             cT, pP, lam = st
-            return _lm_iteration_cg(prob, cT, pP, act, lam, use_huber, cg_iters)
+            return _lm_iteration_cg(prob, cT, pP, act, lam, use_huber,
+                                    cg_iters, axis)
 
         cT, pP, _ = jax.lax.fori_loop(
             0, iters, body, carry + (jnp.float32(1e-4),)
@@ -235,3 +246,12 @@ def bundle_adjust_cg(prob: BAProblem, iters1: int = 5, iters2: int = 10,
         cam_Tcw=cam_Tcw, pnt_pos=pnt_pos, obs_chi2=chi2,
         obs_depth_ok=depth_ok, obs_inlier=inlier,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2", "cg_iters"))
+def bundle_adjust_cg(prob: BAProblem, iters1: int = 5, iters2: int = 10,
+                     cg_iters: int = 64) -> BAResult:
+    """Drop-in replacement for :func:`ba.bundle_adjust` at global scale:
+    same two-phase Huber/gating schedule (Optimizer.py:318-353), inexact
+    LM steps via preconditioned CG on the implicit Schur complement."""
+    return _bundle_adjust_cg_core(prob, iters1, iters2, cg_iters, axis=None)

@@ -226,3 +226,51 @@ def distributed_bundle_adjust(
         out_specs=(P(), P("map"), P("map")),
         check_vma=False,
     )(prob)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "iters1", "iters2", "cg_iters", "n_cam"))
+def distributed_bundle_adjust_cg(
+    prob: BAProblem, mesh: Mesh, n_cam: int,
+    iters1: int = 5, iters2: int = 10, cg_iters: int = 64,
+):
+    """Distributed implicit-Schur PCG bundle adjustment — the
+    KITTI-00-scale multi-chip engine.
+
+    Unlike :func:`distributed_bundle_adjust` (which materializes the
+    dense reduced camera system and its (6C x 3P_local) coupling — right
+    for C <= ~128), this never forms S: points/observations are sharded
+    along ``map``, cameras replicated, and each CG step's matvec costs
+    local segment sums plus ONE (C, 6) psum over ICI.  Scales to
+    thousands of cameras and millions of observations.  CG state (r, p,
+    x) is camera-space and replicated, so the scalar dot products are
+    computed identically on every shard with no extra collectives."""
+    from pyorbslam_tpu.optim import ba_cg
+
+    obs_spec = P("map")
+    prob_specs = BAProblem(
+        cam_Tcw=P(), cam_fixed=P(), pnt_pos=P("map"), pnt_active=P("map"),
+        obs_cam=obs_spec, obs_pnt=obs_spec, obs_uvr=obs_spec,
+        obs_inv_sigma2=obs_spec, obs_active=obs_spec, cam=P(),
+    )
+    n_shards = mesh.shape["map"]
+    pnt_per_shard = prob.pnt_pos.shape[0] // n_shards
+
+    def shard_fn(p: BAProblem):
+        shard_id = jax.lax.axis_index("map")
+        local_obs_pnt = p.obs_pnt - shard_id * pnt_per_shard
+        in_shard = (local_obs_pnt >= 0) & (local_obs_pnt < pnt_per_shard)
+        local = p._replace(
+            obs_pnt=jnp.clip(local_obs_pnt, 0, pnt_per_shard - 1),
+            obs_active=p.obs_active & in_shard,
+        )
+        res = ba_cg._bundle_adjust_cg_core(
+            local, iters1, iters2, cg_iters, axis="map")
+        return res.cam_Tcw, res.pnt_pos, res.obs_inlier
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(prob_specs,),
+        out_specs=(P(), P("map"), P("map")),
+        check_vma=False,
+    )(prob)

@@ -46,6 +46,13 @@ class StereoFrame(NamedTuple):
 def build_stereo_frame(
     left: jnp.ndarray, right: jnp.ndarray, cfg: SlamConfig
 ) -> StereoFrame:
+    # images may arrive as uint8 (the deployment shape: KITTI pngs are
+    # 8-bit, and a u8 host->device transfer is 4x cheaper through the
+    # tunnel than f32) — all downstream ops work on f32 in [0, 255]
+    if left.dtype != jnp.float32:
+        left = left.astype(jnp.float32)
+    if right.dtype != jnp.float32:
+        right = right.astype(jnp.float32)
     orb = cfg.orb
     # build each pyramid once and share it between extraction and the
     # stereo SAD atlas (sequential extraction beats vmap here: the two

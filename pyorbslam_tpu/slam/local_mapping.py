@@ -92,6 +92,52 @@ def fuse_match_step(
         radius_mult, level_hi, stereo_gate)
 
 
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
+def triangulate_ring_packed(
+    ring,                       # DeviceKFRing.arrays (R, N, ...) tuple
+    slot1, nb_slots,            # ring slot of the new KF, (B,) neighbors
+    free1, nb_free,             # (N,), (B, N) bool: valid & unbound
+    T1, nb_T,                   # (4,4), (B,4,4)
+    cam5, baseline, scale_factors, level_sigma2,
+    scale_factor: float = 1.2,
+) -> jnp.ndarray:
+    """:func:`ops.triangulation.triangulate_batch_packed` with every
+    feature block gathered from the device keyframe ring — the only
+    H2D payload per call is the free masks and poses (~10 KB)."""
+    xyA, ocA, deA, urA, dpA, _ = ring
+    r = tri_ops.triangulate_batch(
+        xyA[slot1], ocA[slot1], deA[slot1], urA[slot1], dpA[slot1], free1,
+        xyA[nb_slots], ocA[nb_slots], deA[nb_slots], urA[nb_slots],
+        dpA[nb_slots], nb_free, nb_T,
+        T1, cam5, baseline, scale_factors, level_sigma2, scale_factor)
+    return jnp.concatenate([
+        r.idx1, r.idx2, r.valid.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(r.pos_w, jnp.int32).reshape(
+            r.pos_w.shape[0], -1),
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
+def fuse_ring_batch(
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,   # landmark mirror
+    p_ids,                      # (cap,) landmark ids (-1 pad)
+    ring, tgt_slots, tgt_Tcw,   # ring + (T,) target slots + (T,4,4)
+    cfg: SlamConfig, radius_mult: float = 3.0,
+):
+    """:func:`fuse_match_batch` with candidate landmarks gathered from
+    the device mirror and target keyframes from the ring."""
+    xyA, ocA, deA, urA, _, vaA = ring
+    safe = jnp.maximum(p_ids, 0)
+    p_active = (p_ids >= 0) & m_alive[safe]
+    return jax.vmap(
+        lambda slot, T: _fuse_match_one(
+            m_pos[safe], m_desc[safe], m_normal[safe],
+            m_dmin[safe], m_dmax[safe], p_active,
+            xyA[slot], ocA[slot], None, deA[slot], vaA[slot], urA[slot],
+            T, cfg, radius_mult)
+    )(tgt_slots, tgt_Tcw)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
 def fuse_match_batch(
     p_pos, p_desc, p_normal, p_dmin, p_dmax, p_active,
@@ -113,6 +159,11 @@ def fuse_match_batch(
 class LocalMapper:
     cfg: SlamConfig
     map: SlamMap
+    # device keyframe ring + landmark-mirror provider (wired by System):
+    # when every participant keyframe is still in the ring, maintenance
+    # kernels gather features on device instead of re-uploading them
+    ring: Optional[object] = None
+    mirror_fn: Optional[object] = None   # callable(force=True) -> mirror
 
     # ---------------- triangulation ----------------
 
@@ -142,19 +193,31 @@ class LocalMapper:
         padded = (neighbors + [neighbors[0]] * B)[:B]
         realn = len(neighbors)
         sel = np.asarray(padded)
-        batch = tri_ops.triangulate_batch_packed_jit(
-            jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
-            jnp.asarray(ks.kp_desc[kf]), jnp.asarray(ks.u_right[kf]),
-            jnp.asarray(ks.depth[kf]), jnp.asarray(free1),
-            jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
-            jnp.asarray(ks.kp_desc[sel]), jnp.asarray(ks.u_right[sel]),
-            jnp.asarray(ks.depth[sel]), jnp.asarray(
-                ks.kp_valid[sel] & (ks.obs_lm[sel] < 0)),
-            jnp.asarray(ks.Tcw[sel]),
-            jnp.asarray(ks.Tcw[kf]),
-            cam5, jnp.float32(cam.baseline), sf, s2,
-            scale_factor=self.cfg.orb.scale_factor,
-        )
+        slots = (self.ring.slots_for([kf] + list(sel))
+                 if self.ring is not None else None)
+        if slots is not None:
+            batch = triangulate_ring_packed(
+                self.ring.arrays, jnp.int32(slots[0]), jnp.asarray(slots[1:]),
+                jnp.asarray(free1),
+                jnp.asarray(ks.kp_valid[sel] & (ks.obs_lm[sel] < 0)),
+                jnp.asarray(ks.Tcw[kf]), jnp.asarray(ks.Tcw[sel]),
+                cam5, jnp.float32(cam.baseline), sf, s2,
+                scale_factor=self.cfg.orb.scale_factor,
+            )
+        else:
+            batch = tri_ops.triangulate_batch_packed_jit(
+                jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
+                jnp.asarray(ks.kp_desc[kf]), jnp.asarray(ks.u_right[kf]),
+                jnp.asarray(ks.depth[kf]), jnp.asarray(free1),
+                jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
+                jnp.asarray(ks.kp_desc[sel]), jnp.asarray(ks.u_right[sel]),
+                jnp.asarray(ks.depth[sel]), jnp.asarray(
+                    ks.kp_valid[sel] & (ks.obs_lm[sel] < 0)),
+                jnp.asarray(ks.Tcw[sel]),
+                jnp.asarray(ks.Tcw[kf]),
+                cam5, jnp.float32(cam.baseline), sf, s2,
+                scale_factor=self.cfg.orb.scale_factor,
+            )
         batch_i1, batch_i2, batch_valid, batch_pos = (
             tri_ops.unpack_tri_batch_np(np.asarray(batch))  # ONE host read
         )
@@ -279,15 +342,26 @@ class LocalMapper:
         T = self.FUSE_TARGETS
         tgt = (targets + [targets[0]] * T)[:T]
         sel = np.asarray(tgt)
-        matches = np.asarray(fuse_match_batch(
-            jnp.asarray(lm.pos[safe]), jnp.asarray(lm.desc[safe]),
-            jnp.asarray(lm.normal[safe]), jnp.asarray(lm.dmin[safe]),
-            jnp.asarray(lm.dmax[safe]), jnp.asarray(p_ids >= 0),
-            jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
-            jnp.asarray(ks.kp_angle[sel]), jnp.asarray(ks.kp_desc[sel]),
-            jnp.asarray(ks.kp_valid[sel]), jnp.asarray(ks.u_right[sel]),
-            jnp.asarray(ks.Tcw[sel]), self.cfg,
-        ))  # (T, cap)
+        slots = (self.ring.slots_for(list(sel))
+                 if self.ring is not None and self.mirror_fn is not None
+                 else None)
+        if slots is not None:
+            mirror = self.mirror_fn(force=True)   # fresh landmark blocks
+            matches = np.asarray(fuse_ring_batch(
+                *mirror, jnp.asarray(p_ids),
+                self.ring.arrays, jnp.asarray(slots),
+                jnp.asarray(ks.Tcw[sel]), self.cfg,
+            ))  # (T, cap)
+        else:
+            matches = np.asarray(fuse_match_batch(
+                jnp.asarray(lm.pos[safe]), jnp.asarray(lm.desc[safe]),
+                jnp.asarray(lm.normal[safe]), jnp.asarray(lm.dmin[safe]),
+                jnp.asarray(lm.dmax[safe]), jnp.asarray(p_ids >= 0),
+                jnp.asarray(ks.kp_xy[sel]), jnp.asarray(ks.kp_octave[sel]),
+                jnp.asarray(ks.kp_angle[sel]), jnp.asarray(ks.kp_desc[sel]),
+                jnp.asarray(ks.kp_valid[sel]), jnp.asarray(ks.u_right[sel]),
+                jnp.asarray(ks.Tcw[sel]), self.cfg,
+            ))  # (T, cap)
 
         n_fused = 0
         for ti, target_kf in enumerate(targets):
@@ -304,15 +378,26 @@ class LocalMapper:
             p_ids2 = np.full(cap2, -1, np.int32)
             p_ids2[: len(nb_pts)] = np.asarray(nb_pts, np.int32)
             safe2 = np.maximum(p_ids2, 0)
-            match = np.asarray(fuse_match_step(
-                jnp.asarray(lm.pos[safe2]), jnp.asarray(lm.desc[safe2]),
-                jnp.asarray(lm.normal[safe2]), jnp.asarray(lm.dmin[safe2]),
-                jnp.asarray(lm.dmax[safe2]), jnp.asarray(p_ids2 >= 0),
-                jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
-                jnp.asarray(ks.kp_angle[kf]), jnp.asarray(ks.kp_desc[kf]),
-                jnp.asarray(ks.kp_valid[kf]), jnp.asarray(ks.u_right[kf]),
-                jnp.asarray(ks.Tcw[kf]), self.cfg,
-            ))
+            slots2 = (self.ring.slots_for([kf])
+                      if self.ring is not None and self.mirror_fn is not None
+                      else None)
+            if slots2 is not None:
+                mirror = self.mirror_fn(force=True)
+                match = np.asarray(fuse_ring_batch(
+                    *mirror, jnp.asarray(p_ids2),
+                    self.ring.arrays, jnp.asarray(slots2),
+                    jnp.asarray(ks.Tcw[[kf]]), self.cfg,
+                ))[0]
+            else:
+                match = np.asarray(fuse_match_step(
+                    jnp.asarray(lm.pos[safe2]), jnp.asarray(lm.desc[safe2]),
+                    jnp.asarray(lm.normal[safe2]), jnp.asarray(lm.dmin[safe2]),
+                    jnp.asarray(lm.dmax[safe2]), jnp.asarray(p_ids2 >= 0),
+                    jnp.asarray(ks.kp_xy[kf]), jnp.asarray(ks.kp_octave[kf]),
+                    jnp.asarray(ks.kp_angle[kf]), jnp.asarray(ks.kp_desc[kf]),
+                    jnp.asarray(ks.kp_valid[kf]), jnp.asarray(ks.u_right[kf]),
+                    jnp.asarray(ks.Tcw[kf]), self.cfg,
+                ))
             n_fused += self._apply_fuse_matches(kf, p_ids2, match)
 
         if n_fused:

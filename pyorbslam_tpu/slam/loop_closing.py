@@ -81,6 +81,7 @@ class LoopCloser:
         self.prev_groups: List[Tuple[Set[int], int]] = []  # (group, count)
         self.last_loop_kf: int = -10 ** 9
         self.n_loops_closed: int = 0
+        self.events: List[tuple] = []   # sim3-ladder diagnostics
 
     # ------------------------------ detection ------------------------------
 
@@ -157,6 +158,7 @@ class LoopCloser:
             idx = np.asarray(idx)
             qi = np.nonzero(matched)[0]
             fi = idx[qi]
+            self.events.append((kf, cand, "bow_pairs", len(qi)))
             if len(qi) < 20:
                 continue
 
@@ -178,6 +180,9 @@ class LoopCloser:
                 jnp.ones(n, bool), cam4, jax.random.PRNGKey(kf),
                 with_scale=False,
             )
+            self.events.append((
+                kf, cand, "ransac",
+                int(np.asarray(res.inliers).sum()) if bool(res.ok) else -1))
             if not bool(res.ok):
                 continue
 
@@ -234,6 +239,7 @@ class LoopCloser:
                 jnp.asarray(isig1), jnp.asarray(isig2),
                 jnp.asarray(active), cam4, th2=10.0, fix_scale=True,
             )
+            self.events.append((kf, cand, "sim3_opt", int(opt.n_inliers)))
             if int(opt.n_inliers) < 20:
                 continue
 
@@ -257,6 +263,7 @@ class LoopCloser:
             # total MATCHES — the reference accepts at >= 40 matches
             n_total = len(match_map) + self._project_loop_points(
                 kf, cand, Scw, match_map)
+            self.events.append((kf, cand, "total_matches", n_total))
             if n_total >= 40:
                 return cand, Scw, match_map
         return None

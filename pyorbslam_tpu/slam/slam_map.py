@@ -245,9 +245,12 @@ class SlamMap:
             engine = "dist"
         else:
             engine = "cg"
+        # the reference's GBA is a single robust phase of gba_iters (10)
+        # LM iterations (Optimizer.bundle_adjustment, Optimizer.py:21-121
+        # with bRobust=True and no re-gated second phase)
         return self._run_ba(
             cams=C_live, n_free=len(C_live), pnt_ids=pnt_ids,
-            iters1=self.cfg.ba.gba_iters, iters2=self.cfg.ba.gba_iters,
+            iters1=self.cfg.ba.gba_iters, iters2=0,
             erase_outliers=False, engine=engine,
         )
 
@@ -273,7 +276,10 @@ class SlamMap:
         gather), dispatch the Schur BA (dense reduced system, or
         implicit-Schur CG for global scale), write back, optionally erase
         outlier observations."""
-        if engine == "cg":
+        if engine in ("cg", "dist"):
+            # dist uses the implicit-Schur CG engine sharded over the
+            # mesh, so it takes the same full-scale buckets — a KITTI-00
+            # global map must never be truncated to the dense caps
             cam_buckets = [128, 256, 512, 1024, 2048, 4096]
             pnt_buckets = [16384, 32768, 65536, 131072, 262144]
             obs_buckets = [65536, 131072, 262144, 524288, 1048576]
@@ -357,7 +363,7 @@ class SlamMap:
                 cam=cam5,
             )
             sharded = dist_ba.shard_problem(prob, mesh)
-            d_cam, d_pnt, _ = dist_ba.distributed_bundle_adjust(
+            d_cam, d_pnt, _ = dist_ba.distributed_bundle_adjust_cg(
                 sharded, mesh, n_cam=C, iters1=iters1, iters2=iters2)
             new_Tcw = np.asarray(d_cam)
             new_pos = np.asarray(d_pnt)

@@ -13,7 +13,10 @@ Loop closing / relocalization hook in as later stages on this same spine.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
+from collections import defaultdict
 from typing import Optional
 
 import jax
@@ -38,11 +41,14 @@ from pyorbslam_tpu.slam.frame import (
 )
 from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import (
+    fused_retrack_snapshot_step,
     fused_retrack_step,
     fused_track_step,
     fused_track_window,
+    kf_snapshot,
     local_track_step,
     motion_track_step,
+    unpack_bool_np,
 )
 
 
@@ -53,6 +59,17 @@ def _cap_bucket(n: int, max_cap: int) -> int:
         if n <= b and b <= max_cap:
             return b
     return max_cap
+
+
+_MIRROR_FIELDS = ("pos", "desc", "normal", "dmin", "dmax", "alive")
+
+
+@jax.jit
+def _mirror_scatter(mirror, ids, rows):
+    """Scatter changed landmark rows into the device-resident mirror —
+    a delta update costing |changed| x 68 B through the tunnel instead of
+    the full mirror (which grows with the map)."""
+    return tuple(m.at[ids].set(r) for m, r in zip(mirror, rows))
 
 
 def need_new_keyframe(
@@ -122,6 +139,9 @@ class System:
         )
         self.loop_closer = None
         self.local_mapper = None
+        from pyorbslam_tpu.slam.kf_ring import DeviceKFRing
+
+        self.kf_ring = DeviceKFRing()
         self.last_reloc_frame = -10**9
         self.state = "NOT_INITIALIZED"
         self.Tcw = np.eye(4, dtype=np.float32)
@@ -137,8 +157,11 @@ class System:
         self.stats: list = []
         self._mirror = None          # device-resident landmark blocks
         self._mirror_stale = True
+        self._mirror_shadow = None   # host copy of the uploaded rows
+        self._mirror_cap = 0
         self._frame_cache = None     # (frame, host snapshot) of the last pull
         self._vocab_cache = None     # (frame, (word, weight, node)) prefetch
+        self._snap_prefetch = None   # (frame, device kf_snapshot buffer)
         # windowed schedule: while committing a window the mapper counts
         # as BUSY (the reference's async LocalMapping while a queue
         # drains, LocalMapping.py:86-106) — keyframe insertion then needs
@@ -146,12 +169,31 @@ class System:
         self._mapper_queue = None    # None = idle (per-frame schedule)
         self._pending_window = None  # in-flight pipelined window
         self._scan_correction = None
+        self._chain_healthy = True   # raw device chain tracks host chain
+        self._defer_maintenance = False  # windowed commit in progress
+        self._maint_queue: list = []     # (kf, bow) awaiting mapping work
+        self.events: list = []       # schedule diagnostics (profiling)
+        self.times = defaultdict(float)   # per-stage wall clock
+        self.time_counts = defaultdict(int)
+
+    @contextlib.contextmanager
+    def _t(self, label: str):
+        """Wall-clock a pipeline stage into ``self.times`` (the permanent
+        schedule observability the bench/profiler report)."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.times[label] += time.perf_counter() - t0
+            self.time_counts[label] += 1
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> np.ndarray:
         self.frame_id += 1
-        left = jnp.asarray(left, jnp.float32)
-        right = jnp.asarray(right, jnp.float32)
+        # upload in the caller's dtype (uint8 preferred: 4x cheaper
+        # transfer); build_stereo_frame casts to f32 on device
+        left = jnp.asarray(left)
+        right = jnp.asarray(right)
         if self.state == "NOT_INITIALIZED":
             frame = build_stereo_frame_jit(left, right, self.cfg)
             self._stereo_initialization(frame, timestamp)
@@ -179,50 +221,107 @@ class System:
         per-frame tracking until initialized or when any frame in the
         window tracks weakly.  Returns the W per-frame Tcw poses."""
         if self.state != "OK" or self.map.keyframes.n == 0:
-            return np.stack([
-                self.track_stereo(lefts[i], rights[i], timestamps[i])
-                for i in range(len(timestamps))
-            ])
+            L = len(timestamps)
+            poses, i = [], 0
+            while i < L and (self.state != "OK"
+                             or self.map.keyframes.n == 0):
+                poses.append(
+                    self.track_stereo(lefts[i], rights[i], timestamps[i]))
+                i += 1
+            if L - i >= 3:
+                poses.extend(self._commit_window(self._dispatch_window(
+                    lefts[i:], rights[i:], timestamps[i:])))
+            else:
+                for j in range(i, L):
+                    poses.append(self.track_stereo(
+                        lefts[j], rights[j], timestamps[j]))
+            return np.stack(poses)
         return self._commit_window(
             self._dispatch_window(lefts, rights, timestamps))
 
     # ---- pipelined deployment driver ----
     #
-    # The chip scans window N+1 while the host processes window N's
-    # keyframes (triangulation / fuse / local BA / loop closing) — the
-    # TPU-native form of the reference's async Tracking/LocalMapping
-    # split (System.py:58-64).  The next scan is dispatched from the
-    # DEVICE-side carry of the previous one (no host round trip), against
-    # the landmark mirror as of the last processed window (1-window map
-    # lag).  Corrections the host discovers while processing (BA-refined
-    # keyframe poses, loop closures) are applied to the in-flight
-    # window's raw poses as a relative transform at commit time.
+    # The schedule per feed call:
+    #   1. COMMIT the in-flight window's tracking core: read its rows,
+    #      re-anchor weak frames, insert keyframes (features + stereo
+    #      landmarks + BoW registration), all against the current map;
+    #   2. DISPATCH the next window's scan, chaining the device carry
+    #      REBASED onto the host's corrected pose — the scan therefore
+    #      runs with a map that is fresh as of its own first frame (the
+    #      reference's one-keyframe mapping lag, not a multi-window one);
+    #   3. run the committed keyframes' MAPPING work (triangulation,
+    #      fuse, local BA, loop closing) while the chip scans — the
+    #      TPU-native form of the async Tracking/LocalMapping split
+    #      (System.py:58-64).  Pose refinements found here fold into the
+    #      live pose and reach the in-flight window via its base
+    #      correction at the next commit.
 
     def window_feed(self, lefts, rights, timestamps) -> np.ndarray:
         """Feed one window; returns the poses that became FINAL with this
         call (usually the previous window's W poses; empty on the first
         call; 2W when a bootstrap flush occurs)."""
-        empty = np.zeros((0, 4, 4), np.float32)
         if self.state != "OK" or self.map.keyframes.n == 0:
             done = self.window_flush()
-            boot = np.stack([
-                self.track_stereo(lefts[i], rights[i], timestamps[i])
-                for i in range(len(timestamps))
-            ])
+            # bootstrap: per-frame only until initialized/recovered, then
+            # scan the REMAINDER of the window as one dispatch (the
+            # sub-width program compiles once and is cached)
+            L = len(timestamps)
+            poses, i = [], 0
+            while i < L and (self.state != "OK"
+                             or self.map.keyframes.n == 0):
+                poses.append(
+                    self.track_stereo(lefts[i], rights[i], timestamps[i]))
+                i += 1
+            if L - i >= 3:
+                poses.extend(self._commit_window(self._dispatch_window(
+                    lefts[i:], rights[i:], timestamps[i:])))
+            else:
+                for j in range(i, L):
+                    poses.append(self.track_stereo(
+                        lefts[j], rights[j], timestamps[j]))
+            boot = np.stack(poses)
             return np.concatenate([done, boot]) if len(done) else boot
+
         old = self._pending_window
-        new = self._dispatch_window(
-            lefts, rights, timestamps,
-            carry=(old["carry"] if old is not None else None))
-        out = empty
+        self._pending_window = None
+        out = np.zeros((0, 4, 4), np.float32)
+        carry = None
         if old is not None:
-            out = self._commit_window(old)
-            new["base"] = self._scan_correction
+            self._defer_maintenance = True
+            try:
+                out = self._commit_window(old)
+            finally:
+                self._defer_maintenance = False
             if self.state != "OK":
-                # the in-flight scan chained off a lost track: its raw
-                # poses are unusable — re-track those frames per-frame
-                new["discard"] = True
+                # lost mid-window: the per-frame rescue machine already
+                # took the tail; drain mapping work and track this window
+                # per-frame too
+                self._run_maintenance_queue()
+                return np.concatenate([out, np.stack([
+                    self.track_stereo(lefts[i], rights[i], timestamps[i])
+                    for i in range(len(timestamps))])])
+            if self._chain_healthy:
+                # rebase the device carry onto the corrected pose: the
+                # raw chain's relative motion is kept, its anchor moves
+                # to the host's pose (velocity is invariant under this
+                # right-multiplication)
+                raw_last, corrected = self._scan_correction
+                M = jnp.asarray(
+                    (np.linalg.inv(raw_last) @ corrected).astype(np.float32))
+                frame_c, _, Tcw_c, Tlw_c = old["carry"]
+                q_lm = jnp.asarray(
+                    self.map.landmarks.resolve(self.last_assign))
+                carry = (frame_c, q_lm, Tcw_c @ M, Tlw_c @ M)
+            else:
+                self.events.append("chain:reseed")
+        new = self._dispatch_window(lefts, rights, timestamps, carry=carry)
+        base_pre = self.Tcw.copy()
         self._pending_window = new
+        # the committed keyframes' mapping work runs under the scan
+        self._run_maintenance_queue()
+        # pose refinements from maintenance reach the in-flight window
+        # as a base correction (its raw chain is anchored at base_pre)
+        new["base"] = (base_pre, self.Tcw.copy())
         return out
 
     def window_flush(self) -> np.ndarray:
@@ -243,18 +342,24 @@ class System:
         """Upload one window of stereo pairs and dispatch the scan.
         ``carry`` (device tuple from the previous scan) lets the chip
         chain windows without waiting for host processing."""
+        with self._t("window.dispatch"):
+            return self._dispatch_window_inner(
+                lefts, rights, timestamps, carry)
+
+    def _dispatch_window_inner(self, lefts, rights, timestamps, carry=None):
         W = len(timestamps)
         lm = self.map.landmarks
-        local_ids = self._local_point_ids(self.last_assign)
+        local_ids = self._spatial_point_ids(self.Tcw)
         cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
         p_ids = np.full(cap, -1, np.int32)
         p_ids[: len(local_ids)] = local_ids
 
-        images = jnp.stack([
-            jnp.stack([jnp.asarray(lefts[i], jnp.float32),
-                       jnp.asarray(rights[i], jnp.float32)])
+        # ONE host->device transfer for the whole window (uint8 where the
+        # caller provides it: 4x smaller through the ~30 MB/s tunnel)
+        images = jnp.asarray(np.stack([
+            np.stack([np.asarray(lefts[i]), np.asarray(rights[i])])
             for i in range(W)
-        ])
+        ]))
         if carry is None:
             frame0 = self.last_frame
             q_lm0 = jnp.asarray(lm.resolve(self.last_assign))
@@ -263,13 +368,9 @@ class System:
                 (np.linalg.inv(self.velocity) @ self.Tcw).astype(np.float32))
         else:
             frame0, q_lm0, Tlw0, Tllw0 = carry
-        voc = self.vocabulary
         packed, frames, carry_out = fused_track_window(
             images, *self._landmark_mirror(), frame0, q_lm0,
             jnp.asarray(p_ids), Tlw0, Tllw0, self.cfg,
-            voc_arrays=voc._device_arrays(),
-            voc_k=voc.k, voc_L=voc.L,
-            voc_levels_up=voc.feature_levels_up,
         )
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()   # overlap the read with the scan
@@ -280,6 +381,10 @@ class System:
                     n_feat=int(q_lm0.shape[0]), base=None)
 
     def _commit_window(self, pending) -> np.ndarray:
+        with self._t("window.commit_total"):
+            return self._commit_window_inner(pending)
+
+    def _commit_window_inner(self, pending) -> np.ndarray:
         """Process one scanned window.  Healthy frames commit the scan
         pose directly.  A frame that needs a keyframe — or whose
         scan anchoring weakened — is RE-ANCHORED on device first: one
@@ -294,10 +399,10 @@ class System:
         local_n = pending["n_local"]
         lm = self.map.landmarks
         W = len(timestamps)
-        out = np.asarray(pending["packed"])   # ONE device->host transfer
+        with self._t("window.read"):
+            out = np.asarray(pending["packed"])  # ONE device->host transfer
         n_feat = pending["n_feat"]
         N, P = n_feat, len(p_ids)
-        base_off = 21 + N + P
         frames = pending["frames"]
         stats = out[:, :5]
 
@@ -309,28 +414,63 @@ class System:
         self._mapper_queue = 0   # window commit = mapper busy
         for i in range(W):
             row = out[i]
-            if int(row[0]) < 20 or int(row[1]) < 20:
-                aborted = i        # motion tracking collapsed mid-scan
-                break
-            n_matches_i = int(row[0])
-            n_inliers = int(row[2])
-            assign = lm.resolve(row[21: 21 + N])
-            assign = np.where(
-                (assign >= 0) & lm.alive[np.maximum(assign, 0)], assign, -1)
-            p_visible = row[21 + N: 21 + N + P].astype(bool)
             raw = row[5:21].copy().view(np.float32).reshape(4, 4)
-            Tcw_i = raw if base_raw is None \
-                else raw @ np.linalg.inv(base_raw) @ base_corr
-            Tcw_i = np.ascontiguousarray(Tcw_i, dtype=np.float32)
             frame_i = jax.tree_util.tree_map(lambda a: a[i], frames)
-            snap = unpack_frame_np(
-                row[base_off: base_off + 16 * N].copy(), N)
-            tracked_close = int(row[3])
-            non_tracked_close = int(row[4])
-            n_local_i = local_n
+            frame_prev = pending["frame0"] if i == 0 else \
+                jax.tree_util.tree_map(lambda a: a[i - 1], frames)
+            retracked = False
+            scan_weak = (int(row[0]) < 20 or int(row[1]) < 20
+                         or not np.isfinite(raw).all())
 
-            # does this frame need a keyframe (busy-mapper gating), or
-            # did its map anchoring weaken below the commit bar?
+            def adopt_retrack(re):
+                nonlocal base_raw, base_corr
+                (n_matches_i, n_inliers, Tcw_i, assign, p_ids_i,
+                 p_visible, tracked_close, non_tracked_close) = re
+                # the re-tracked pose leaves the raw scan chain: fold the
+                # delta into the base correction so later rows follow
+                base_raw = raw.copy()
+                base_corr = Tcw_i.copy()
+                return (n_matches_i, n_inliers, Tcw_i, assign, p_ids_i,
+                        p_visible, tracked_close, non_tracked_close,
+                        int((p_ids_i >= 0).sum()))
+
+            if scan_weak:
+                # motion tracking collapsed mid-scan (often map staleness
+                # in the pipelined schedule): re-anchor ON DEVICE against
+                # the current map, reusing the scan's extracted features —
+                # only a failed re-track falls back to per-frame rescue
+                self.events.append("retrack:scan_weak")
+                re = self._retrack_window_frame(frame_i, frame_prev)
+                if re is None:
+                    aborted = i
+                    self.events.append("abort:scan_weak")
+                    break
+                (n_matches_i, n_inliers, Tcw_i, assign, p_vis_ids,
+                 p_visible, tracked_close, non_tracked_close,
+                 n_local_i) = adopt_retrack(re)
+                retracked = True
+            else:
+                n_matches_i = int(row[0])
+                n_inliers = int(row[2])
+                assign = lm.resolve(row[21: 21 + N])
+                assign = np.where(
+                    (assign >= 0) & lm.alive[np.maximum(assign, 0)],
+                    assign, -1)
+                p_visible = unpack_bool_np(row[21 + N: 21 + N + P // 32], P)
+                Tcw_i = raw if base_raw is None \
+                    else raw @ np.linalg.inv(base_raw) @ base_corr
+                Tcw_i = np.ascontiguousarray(Tcw_i, dtype=np.float32)
+                tracked_close = int(row[3])
+                non_tracked_close = int(row[4])
+                n_local_i = local_n
+                p_vis_ids = p_ids
+
+            # does this frame need a keyframe, or did its map anchoring
+            # weaken below the commit bar?  The mapper is modeled as the
+            # reference's async LocalMapping: idle once its per-KF
+            # latency has elapsed (the synchronous commit can run it
+            # immediately) — gating it off for the entire commit starves
+            # keyframe creation and lets the map exhaust under the scan
             ks = self.map.keyframes
             needs_kf = need_new_keyframe(
                 n_inliers=int((assign >= 0).sum()),
@@ -342,27 +482,29 @@ class System:
                 tracked_close=tracked_close,
                 non_tracked_close=non_tracked_close,
                 min_frames=trk.min_frames, max_frames=trk.max_frames,
-                mapper_idle=False, queue_len=self._mapper_queue,
+                mapper_idle=(self.frame_id + 1 >= self.last_kf_frame
+                             + trk.mapper_latency_frames),
+                queue_len=self._mapper_queue,
             )
-            if needs_kf or n_inliers < self.window_commit_min_inliers:
-                frame_prev = pending["frame0"] if i == 0 else \
-                    jax.tree_util.tree_map(lambda a: a[i - 1], frames)
-                re = self._retrack_window_frame(frame_i, frame_prev)
+            if not retracked and (
+                    needs_kf or n_inliers < self.window_commit_min_inliers):
+                # a keyframe-to-be is re-anchored against the CURRENT map
+                # before insertion (its landmarks seed everything that
+                # follows); the same dispatch returns the insertion
+                # snapshot+BoW so the keyframe costs one round trip
+                self.events.append(
+                    "retrack:needs_kf" if needs_kf else "retrack:weak_anchor")
+                re = self._retrack_window_frame(
+                    frame_i, frame_prev, want_snapshot=needs_kf)
                 if re is None:
                     # weak even against the fresh map: this stretch needs
                     # the per-frame machine's full rescue ladder
                     aborted = i
+                    self.events.append("abort:retrack_failed")
                     break
-                (n_matches_i, n_inliers, Tcw_i, assign, p_ids_i,
-                 p_visible, tracked_close, non_tracked_close) = re
-                # the re-tracked pose leaves the raw scan chain: fold the
-                # delta into the base correction so later rows follow
-                base_raw = raw.copy()
-                base_corr = Tcw_i.copy()
-                p_vis_ids = p_ids_i
-                n_local_i = int((p_ids_i >= 0).sum())
-            else:
-                p_vis_ids = p_ids
+                (n_matches_i, n_inliers, Tcw_i, assign, p_vis_ids,
+                 p_visible, tracked_close, non_tracked_close,
+                 n_local_i) = adopt_retrack(re)
 
             self.frame_id += 1
             vis_ids = p_vis_ids[p_visible[: len(p_vis_ids)]]
@@ -374,15 +516,6 @@ class System:
 
             self.state = "OK" if n_inliers >= 20 else "MARGINAL"
             self.Tcw = np.ascontiguousarray(Tcw_i, dtype=np.float32)
-            # prefetched host snapshot + BoW vectors: keyframe insertion
-            # reuses the window read instead of new device round trips
-            self._frame_cache = (frame_i, snap)
-            self._vocab_cache = (frame_i, (
-                row[base_off + 16 * N: base_off + 17 * N].copy(),
-                row[base_off + 17 * N: base_off + 18 * N].copy()
-                .view(np.float32),
-                row[base_off + 18 * N: base_off + 19 * N].copy(),
-            ))
             pre_kf_Tcw = self.Tcw.copy()
             self._finish_track(
                 frame_i, assign, n_matches_i, n_inliers,
@@ -403,38 +536,86 @@ class System:
                 poses.append(
                     self.track_stereo(lefts[i], rights[i], timestamps[i]))
         self._mapper_queue = None   # mapper idle again
-        # divergence between the raw scan chain (which any in-flight
-        # window continued from) and the host's final pose for this
-        # window's last frame — applied to the next pipelined commit
+        # an aborted commit means the per-frame machine took over for
+        # the tail: the device chain must reseed from host state.  A
+        # non-finite raw chain end (pose optimization diverged on
+        # garbage matches) must never be inverted for a rebase.
+        det = float(np.linalg.det(raw_last)) \
+            if np.isfinite(raw_last).all() else 0.0
+        self._chain_healthy = (
+            aborted is None and 0.5 < abs(det) < 2.0)
+        # raw device pose of the window's last frame vs the host's
+        # corrected pose — the next dispatch rebases the carry by this
         self._scan_correction = (raw_last, self.Tcw.copy())
         return np.stack(poses)
 
-    def _retrack_window_frame(self, frame_i, frame_prev):
+    def _retrack_window_frame(self, frame_i, frame_prev,
+                              want_snapshot: bool = False):
         """Full tracking body (motion + local + pose opt) for one scanned
         frame against the CURRENT map, reusing its extracted features —
         the device re-track that precedes in-window keyframe insertion.
+        With ``want_snapshot`` the same dispatch also returns the
+        keyframe-insertion snapshot + BoW vectors (one read, not two).
         Returns (n_matches, n_inliers, Tcw, assign, p_ids, p_visible,
         tracked_close, non_tracked_close) or None when weak."""
+        with self._t("window.retrack"):
+            return self._retrack_window_frame_inner(
+                frame_i, frame_prev, want_snapshot)
+
+    def _retrack_window_frame_inner(self, frame_i, frame_prev,
+                                    want_snapshot: bool):
         lm = self.map.landmarks
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         q_lm = lm.resolve(self.last_assign)
-        local_ids = self._local_point_ids(self.last_assign)
+        local_ids = self._spatial_point_ids(Tcw_pred)
         cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
         p_ids = np.full(cap, -1, np.int32)
         p_ids[: len(local_ids)] = local_ids
-        packed = np.asarray(fused_retrack_step(
-            frame_i, *self._landmark_mirror(),
-            jnp.asarray(q_lm), frame_prev, jnp.asarray(p_ids),
-            jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw), self.cfg,
-        ))
+        voc = self.vocabulary
+        want_snapshot = want_snapshot and voc is not None
+
+        def attempt(th_base):
+            if want_snapshot:
+                return np.asarray(fused_retrack_snapshot_step(
+                    frame_i, *self._landmark_mirror(),
+                    jnp.asarray(q_lm), frame_prev, jnp.asarray(p_ids),
+                    jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw), self.cfg,
+                    voc._device_arrays(), voc.k, voc.L,
+                    voc.feature_levels_up, th_base=th_base,
+                ))
+            return np.asarray(fused_retrack_step(
+                frame_i, *self._landmark_mirror(),
+                jnp.asarray(q_lm), frame_prev, jnp.asarray(p_ids),
+                jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw), self.cfg,
+                th_base=th_base,
+            ))
+
+        packed = attempt(7.0)
         N = q_lm.shape[0]
         stats = packed[:5]
         n_matches, n_in_motion, n_inliers = (int(x) for x in stats[:3])
         if n_matches < 20 or n_in_motion < 20 or n_inliers < 20:
+            # wide-radius rescue (the per-frame ladder's 28 px tier,
+            # Tracking.py's 2*th retry) before giving up on the frame
+            packed = attempt(28.0)
+            stats = packed[:5]
+            n_matches, n_in_motion, n_inliers = (int(x) for x in stats[:3])
+        if n_matches < 20 or n_in_motion < 20 or n_inliers < 20:
             return None
+        if want_snapshot:
+            base = 21 + N + len(p_ids)
+            buf = packed[base:]
+            snap = unpack_frame_np(buf[: 16 * N], N)
+            self._frame_cache = (frame_i, snap)
+            self._vocab_cache = (frame_i, (
+                buf[16 * N: 17 * N],
+                buf[17 * N: 18 * N].view(np.float32),
+                buf[18 * N: 19 * N],
+            ))
+            self._snap_prefetch = None
         Tcw = packed[5:21].copy().view(np.float32).reshape(4, 4)
         assign = packed[21: 21 + N].copy()
-        p_visible = packed[21 + N:].astype(bool)
+        p_visible = packed[21 + N: 21 + N + len(p_ids)].astype(bool)
         return (n_matches, n_inliers,
                 np.ascontiguousarray(Tcw, np.float32), assign, p_ids,
                 p_visible, int(stats[3]), int(stats[4]))
@@ -485,6 +666,7 @@ class System:
         if self.kfdb is None:
             self.kfdb = KeyFrameDatabase(self.vocabulary)
         self.Tcw = np.eye(4, dtype=np.float32)
+        self._prefetch_snapshot(frame)
         assign = self._create_landmarks(frame, self.Tcw, limit=None)
         self._insert_keyframe(frame, assign, timestamp, run_ba=False)
         self.last_frame = frame
@@ -493,29 +675,68 @@ class System:
 
     # ---------------- per-frame tracking ----------------
 
-    def _landmark_mirror(self):
+    def _landmark_mirror(self, force: bool = False):
         """Device-resident landmark blocks (positions, descriptors,
         normals, distance bands, alive mask), refreshed only after map
         mutations — per-frame tracking gathers from these by index so the
-        blocks never cross the host boundary (SURVEY §7 host/device split)."""
+        blocks never cross the host boundary (SURVEY §7 host/device split).
+
+        Refreshes are DELTA updates: a host-side shadow copy finds the
+        rows any map mutation touched (including native-core kills the
+        Python layer never sees) and only those rows cross the tunnel —
+        at KITTI-00 scale a full re-upload is ~8 MB per window, a delta
+        is a few hundred KB."""
         lm = self.map.landmarks
-        if self._mirror is None or self._mirror_stale:
-            cap = 1 << 14
-            while cap < lm.n:
-                cap <<= 1
-            cap = min(cap, lm.capacity)
-            self._mirror = (
-                jnp.asarray(lm.pos[:cap]), jnp.asarray(lm.desc[:cap]),
-                jnp.asarray(lm.normal[:cap]), jnp.asarray(lm.dmin[:cap]),
-                jnp.asarray(lm.dmax[:cap]), jnp.asarray(lm.alive[:cap]),
-            )
-            self._mirror_stale = False
+        if force:
+            self._mirror_stale = True
+        if self._mirror is not None and not self._mirror_stale:
+            return self._mirror
+        cap = 1 << 14
+        while cap < lm.n:
+            cap <<= 1
+        cap = min(cap, lm.capacity)
+
+        def full_upload():
+            host = tuple(getattr(lm, f)[:cap] for f in _MIRROR_FIELDS)
+            self._mirror = tuple(jnp.asarray(h) for h in host)
+            self._mirror_shadow = tuple(h.copy() for h in host)
+            self._mirror_cap = cap
+
+        if self._mirror is None or self._mirror_cap != cap:
+            full_upload()
+        else:
+            changed = np.zeros(cap, bool)
+            for f, s in zip(_MIRROR_FIELDS, self._mirror_shadow):
+                h = getattr(lm, f)[:cap]
+                d = h != s
+                changed |= d.any(axis=1) if d.ndim == 2 else d
+            ids = np.nonzero(changed)[0].astype(np.int32)
+            if len(ids) > cap // 4:
+                full_upload()
+            elif len(ids):
+                pad = 256
+                while pad < len(ids):
+                    pad <<= 1
+                ids_p = np.full(pad, ids[0], np.int32)
+                ids_p[: len(ids)] = ids
+                rows = tuple(
+                    jnp.asarray(getattr(lm, f)[ids_p])
+                    for f in _MIRROR_FIELDS)
+                self._mirror = _mirror_scatter(
+                    self._mirror, jnp.asarray(ids_p), rows)
+                for f, s in zip(_MIRROR_FIELDS, self._mirror_shadow):
+                    s[ids] = getattr(lm, f)[ids]
+        self._mirror_stale = False
         return self._mirror
 
     def _track_fused(self, left, right, timestamp: float):
         """Fast path: the whole per-frame hot path in one device dispatch
         (tracking.fused_track_step) + one packed read-back.  Falls back to
         the step-by-step host path on weak tracking (rare)."""
+        with self._t("perframe.track"):
+            return self._track_fused_inner(left, right, timestamp)
+
+    def _track_fused_inner(self, left, right, timestamp: float):
         lm = self.map.landmarks
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         q_lm = lm.resolve(self.last_assign)
@@ -692,8 +913,7 @@ class System:
                 non_tracked_close=non_tracked_close,
                 min_frames=trk.min_frames, max_frames=trk.max_frames,
                 mapper_idle=(
-                    self._mapper_queue is None
-                    and self.frame_id
+                    self.frame_id
                     >= self.last_kf_frame + trk.mapper_latency_frames
                 ),
                 queue_len=self._mapper_queue or 0,
@@ -702,6 +922,9 @@ class System:
             or self.state == "WEAK"
         )
         if need_kf:
+            # one combined snapshot+BoW read instead of two round trips
+            if self._frame_cache is None or self._frame_cache[0] is not frame:
+                self._prefetch_snapshot(frame)
             assign = self._create_landmarks(frame, self.Tcw, limit=100,
                                             existing=assign)
             kf_id = self._insert_keyframe(frame, assign, timestamp, run_ba=True)
@@ -722,17 +945,54 @@ class System:
 
     # ---------------- local mapping (synchronous) ----------------
 
+    def _prefetch_snapshot(self, frame: StereoFrame):
+        """Dispatch the keyframe snapshot+BoW read for a device-resident
+        frame and start its host copy asynchronously.  Costs nothing if
+        never consumed (the buffer is dropped); consumed lazily by
+        :meth:`_frame_host`."""
+        if self.vocabulary is None:
+            return
+        if self._snap_prefetch is not None and \
+                self._snap_prefetch[0] is frame:
+            return
+        voc = self.vocabulary
+        buf = kf_snapshot(
+            frame, voc._device_arrays(), voc.k, voc.L,
+            voc.feature_levels_up)
+        if hasattr(buf, "copy_to_host_async"):
+            buf.copy_to_host_async()
+        self._snap_prefetch = (frame, buf)
+
     def _frame_host(self, frame: StereoFrame) -> dict:
         """Host snapshot of a frame's per-feature arrays, pulled in ONE
         device->host transfer and cached per frame object."""
         if self._frame_cache is not None and self._frame_cache[0] is frame:
             return self._frame_cache[1]
+        if self._snap_prefetch is not None and self._snap_prefetch[0] is frame:
+            with self._t("kf.snapshot_read"):
+                buf = np.asarray(self._snap_prefetch[1])
+            self._snap_prefetch = None
+            n = frame.capacity
+            snap = unpack_frame_np(buf[: 16 * n], n)
+            self._frame_cache = (frame, snap)
+            self._vocab_cache = (frame, (
+                buf[16 * n: 17 * n],
+                buf[17 * n: 18 * n].view(np.float32),
+                buf[18 * n: 19 * n],
+            ))
+            return snap
         snap = unpack_frame_np(np.asarray(pack_frame(frame)), frame.capacity)
         self._frame_cache = (frame, snap)
         return snap
 
     def _insert_keyframe(self, frame: StereoFrame, assign: np.ndarray,
                          timestamp: float, run_ba: bool):
+        with self._t("kf.insert_total"):
+            return self._insert_keyframe_inner(
+                frame, assign, timestamp, run_ba)
+
+    def _insert_keyframe_inner(self, frame: StereoFrame, assign: np.ndarray,
+                               timestamp: float, run_ba: bool):
         frame_np = self._frame_host(frame)
         if self._vocab_cache is not None and self._vocab_cache[0] is frame:
             word, wweight, node = self._vocab_cache[1]   # window prefetch
@@ -743,6 +1003,7 @@ class System:
             frame_np, self.Tcw, assign, self.frame_id, timestamp,
             kp_node=node,
         )
+        self.kf_ring.insert(kf, frame)
         bow = self.vocabulary.bow_vector(word, wweight, frame_np["valid"])
         self.kfdb.add(kf, bow)
         if self.loop_closer is None:
@@ -754,7 +1015,9 @@ class System:
         if self.local_mapper is None:
             from pyorbslam_tpu.slam.local_mapping import LocalMapper
 
-            self.local_mapper = LocalMapper(self.cfg, self.map)
+            self.local_mapper = LocalMapper(
+                self.cfg, self.map,
+                ring=self.kf_ring, mirror_fn=self._landmark_mirror)
         new_ids = assign[(assign >= 0) & (self.lm_created_kf[np.maximum(assign, 0)] < 0)]
         self.lm_created_kf[new_ids] = kf
         self.recent_lms.append(np.unique(assign[assign >= 0]))
@@ -768,33 +1031,70 @@ class System:
                 self.recent_lms[-3], kf, self.lm_created_kf
             )
 
-        if run_ba and self.local_mapper is not None:
-            # LocalMapping order (LocalMapping.run): triangulate new points
-            # over covisible neighbors, fuse duplicates, then local BA,
-            # then keyframe culling
-            self.local_mapper.create_new_points(kf)
-            self.local_mapper.fuse_neighbors(kf)
+        self._mirror_stale = True   # the store changed; re-upload lazily
+        if run_ba:
+            if self._defer_maintenance:
+                # windowed schedule: the mapping work for this keyframe
+                # (triangulation / fuse / BA / loop closing) runs AFTER
+                # the next window's scan is dispatched, overlapping the
+                # chip — the reference's asynchronous LocalMapping lag
+                # (LocalMapping.py:43-84)
+                self._maint_queue.append((kf, bow))
+            else:
+                self._kf_maintenance(kf, bow, deferred=False)
+        return kf
 
-        if run_ba and kf % self.ba_every_n_kf == 0:
-            info = self.map.local_ba(kf)
+    def _kf_maintenance(self, kf: int, bow, deferred: bool):
+        """LocalMapping + LoopClosing work for one keyframe
+        (LocalMapping.run order: triangulate new points over covisible
+        neighbors, fuse duplicates, local BA, keyframe culling, then the
+        loop-closing stage).  ``deferred`` = running after later frames
+        were already tracked: pose refinements fold into the live pose
+        as a rigid delta instead of being adopted directly."""
+        if self.local_mapper is not None:
+            with self._t("kf.triangulate"):
+                self.local_mapper.create_new_points(kf)
+            with self._t("kf.fuse"):
+                self.local_mapper.fuse_neighbors(kf)
+
+        if kf % self.ba_every_n_kf == 0:
+            pre = self.map.keyframes.Tcw[kf].copy()
+            with self._t("kf.local_ba"):
+                info = self.map.local_ba(kf)
             if info.get("ran"):
-                # adopt the BA-refined pose for the current camera
-                self.Tcw = self.map.keyframes.Tcw[kf].copy()
+                if deferred:
+                    delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
+                    self.Tcw = (delta @ self.Tcw).astype(np.float32)
+                else:
+                    # adopt the BA-refined pose for the current camera
+                    self.Tcw = self.map.keyframes.Tcw[kf].copy()
 
-        if run_ba and self.local_mapper is not None and kf % 4 == 0:
+        if self.local_mapper is not None and kf % 4 == 0:
             self.local_mapper.cull_keyframes(
                 kf, on_removed=lambda k: self.kfdb.erase(k))
 
-        if self.loop_closer is not None and run_ba:
-            closed = self.loop_closer.on_keyframe(kf, bow)
+        if self.loop_closer is not None:
+            pre = self.map.keyframes.Tcw[kf].copy()
+            with self._t("kf.loop"):
+                closed = self.loop_closer.on_keyframe(kf, bow)
             if closed:
                 # loop correction + pose graph + GBA rewrote the map;
                 # adopt the corrected current pose and clear the motion
                 # model (the old velocity lives in the pre-correction frame)
-                self.Tcw = self.map.keyframes.Tcw[kf].copy()
+                if deferred:
+                    delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
+                    self.Tcw = (delta @ self.Tcw).astype(np.float32)
+                else:
+                    self.Tcw = self.map.keyframes.Tcw[kf].copy()
                 self.velocity = np.eye(4, dtype=np.float32)
-        self._mirror_stale = True   # the store changed; re-upload lazily
-        return kf
+        self._mirror_stale = True
+
+    def _run_maintenance_queue(self):
+        """Drain the deferred per-keyframe mapping work (runs while the
+        next window's scan occupies the chip)."""
+        queue, self._maint_queue = self._maint_queue, []
+        for kf, bow in queue:
+            self._kf_maintenance(kf, bow, deferred=True)
 
     # ---------------- reference-keyframe tracking ----------------
 
@@ -1008,6 +1308,29 @@ class System:
         lm = self.map.landmarks
         ids = ids[lm.alive[ids]]
         return int((lm.n_obs[ids] >= min_obs).sum())
+
+    def _spatial_point_ids(self, Tcw: np.ndarray,
+                           radius: float = 80.0) -> np.ndarray:
+        """Local map for the WINDOWED schedule: every live landmark
+        within ``radius`` of the camera, nearest-first when over
+        capacity.  The reference's per-frame covisibility walk
+        (update_local_points) only covers ~one keyframe neighborhood —
+        frozen for a whole window it starves within a few frames of
+        forward motion; a spatial ball around the corrected pose keeps
+        the scan anchored for the window's full travel (device frustum
+        and scale-band gates do the per-frame narrowing)."""
+        lm = self.map.landmarks
+        n = lm.n
+        if n == 0:
+            return np.empty(0, np.int32)
+        Ow = -Tcw[:3, :3].T @ Tcw[:3, 3]
+        d2 = ((lm.pos[:n] - Ow) ** 2).sum(1)
+        sel = lm.alive[:n] & (d2 < radius * radius)
+        ids = np.nonzero(sel)[0]
+        cap = self.cfg.tracking.max_local_points
+        if len(ids) > cap:
+            ids = ids[np.argpartition(d2[ids], cap)[:cap]]
+        return ids.astype(np.int32)
 
     def _local_point_ids(self, assign: np.ndarray) -> np.ndarray:
         """update_local_keyframes + update_local_points (Tracking.py:392-436):

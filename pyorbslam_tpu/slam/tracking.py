@@ -416,10 +416,24 @@ def _fused_track_core(
     return packed, Tcw_fin, assign
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "voc_k", "voc_L", "voc_levels_up"))
+def _bitpack_bool(x: jnp.ndarray) -> jnp.ndarray:
+    """(P,) bool -> (P/32,) int32 little-endian bit words (P % 32 == 0).
+    A scanned row's p_visible costs 32x less tunnel bandwidth packed."""
+    bits = x.astype(jnp.uint32).reshape(-1, 32)
+    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
+
+
+def unpack_bool_np(words: np.ndarray, n: int) -> np.ndarray:
+    """Host inverse of :func:`_bitpack_bool` -> (n,) bool."""
+    return np.unpackbits(
+        words.view(np.uint8), bitorder="little")[:n].astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def fused_track_window(
-    images: jnp.ndarray,       # (W, 2, H, Wd) stereo pairs
+    images: jnp.ndarray,       # (W, 2, H, Wd) stereo pairs (u8 or f32)
     m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,   # landmark mirror
     last_frame: StereoFrame,   # previous frame's features (device)
     q_lm0: jnp.ndarray,        # (N,) landmark id per last-frame feature
@@ -427,9 +441,6 @@ def fused_track_window(
     Tlw0: jnp.ndarray,         # (4, 4) last frame pose
     Tllw0: jnp.ndarray,        # (4, 4) pose before that (velocity seed)
     cfg: SlamConfig,
-    voc_arrays=None,           # (node_desc, child_start, n_children,
-    #                             weight, word_id) device vocab tree
-    voc_k: int = 0, voc_L: int = 0, voc_levels_up: int = 0,
 ):
     """Track a WINDOW of frames in one device program: ``lax.scan``
     carries (previous features, landmark assignment, pose pair) across
@@ -443,19 +454,18 @@ def fused_track_window(
     map that lags by however long mapping takes.  Keyframe decisions are
     made by the host AFTER the window from the per-frame packed stats.
 
-    Each packed row carries EVERYTHING the host might need — tracking
-    stats/pose/assignments, the frame's feature snapshot (pack_frame)
-    and, when a vocabulary is given, the BoW word/weight/node per
-    feature — so a whole window costs ONE device->host read no matter
-    how many keyframes it spawns:
-      [0:5] stats | [5:21] Tcw | [21:21+N] assign | [+P] p_visible |
-      [+16N] pack_frame | [+N] word | [+N] weight bits | [+N] node
+    Each packed row carries only what the host needs for EVERY frame —
+    stats, pose, landmark assignment, and the bit-packed local-point
+    visibility.  Frames the host promotes to keyframes pull their
+    feature snapshot + BoW vectors afterwards in a second small read
+    (:func:`kf_snapshot`) — paying 19N ints per KEYFRAME beats paying
+    19N per scanned frame through a ~30 MB/s tunnel:
+      [0:5] stats | [5:21] Tcw | [21:21+N] assign | [+P/32] p_visible bits
 
     Returns (stacked packed rows (W, row), stacked frames, final carry —
     the carry stays ON DEVICE so the next window can be dispatched
     without waiting for the host to process this one).
     """
-    from pyorbslam_tpu.place.vocabulary import _transform_jit
 
     def body(carry, lr):
         frame_prev, q_lm, Tlw, Tllw = carry
@@ -467,25 +477,63 @@ def fused_track_window(
             q_lm, frame_prev, p_ids,
             vel @ Tlw, Tlw, cfg,
         )
-        from pyorbslam_tpu.slam.frame import pack_frame
-
-        parts = [packed, pack_frame(frame)]
-        if voc_arrays is not None:
-            word, wweight, node = _transform_jit.__wrapped__(
-                frame.desc, *voc_arrays, voc_k, voc_L, voc_levels_up)
-            parts += [
-                word.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(
-                    wweight.astype(jnp.float32), jnp.int32),
-                node.astype(jnp.int32),
-            ]
-        row = jnp.concatenate(parts)
+        n_core = 21 + assign.shape[0]
+        row = jnp.concatenate([
+            packed[:n_core], _bitpack_bool(packed[n_core:] != 0)])
         return (frame, assign, Tcw, Tlw), (row, frame)
 
     carry, (packed, frames) = jax.lax.scan(
         body, (last_frame, q_lm0, Tlw0, Tllw0), images
     )
     return packed, frames, carry
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "th_base", "voc_k", "voc_L", "voc_levels_up"))
+def fused_retrack_snapshot_step(
+    frame: StereoFrame,
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+    q_lm, frame_prev: StereoFrame, p_ids, Tcw_pred, Tlw,
+    cfg: SlamConfig, voc_arrays,
+    voc_k: int, voc_L: int, voc_levels_up: int,
+    th_base: float = 7.0,
+) -> jnp.ndarray:
+    """:func:`fused_retrack_step` + :func:`kf_snapshot` in ONE dispatch
+    and ONE packed read — the likely-keyframe re-track path: the host
+    gets the re-anchored pose/assignments AND the insertion snapshot/BoW
+    without a second round trip.  Layout: [retrack 21+N+P | snapshot 19N]."""
+    packed, _, _ = _fused_track_core(
+        frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+        q_lm, frame_prev, p_ids, Tcw_pred, Tlw, cfg, th_base,
+    )
+    snap = kf_snapshot.__wrapped__(
+        frame, voc_arrays, voc_k, voc_L, voc_levels_up)
+    return jnp.concatenate([packed, snap])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("voc_k", "voc_L", "voc_levels_up"))
+def kf_snapshot(
+    frame: StereoFrame, voc_arrays,
+    voc_k: int, voc_L: int, voc_levels_up: int,
+) -> jnp.ndarray:
+    """Everything keyframe insertion needs from a device-resident frame,
+    in ONE packed read: the host feature snapshot (pack_frame) plus the
+    BoW word/weight/node vectors from the vocabulary tree descent
+    (Frame.compute_BoW, TemplatedVocabulary.transform:108-161).  Layout:
+      [pack_frame 16N | word N | weight bits N | node N]."""
+    from pyorbslam_tpu.place.vocabulary import _transform_jit
+    from pyorbslam_tpu.slam.frame import pack_frame
+
+    word, wweight, node = _transform_jit.__wrapped__(
+        frame.desc, *voc_arrays, voc_k, voc_L, voc_levels_up)
+    return jnp.concatenate([
+        pack_frame(frame),
+        word.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(wweight.astype(jnp.float32), jnp.int32),
+        node.astype(jnp.int32),
+    ])
 
 
 @dataclasses.dataclass

@@ -49,9 +49,12 @@ def full_loop_run(data_cache_dir):
     from pyorbslam_tpu.io.synthetic import generate_sequence
     from pyorbslam_tpu.slam.system import System
 
+    # laps > 1: the revisit dwells past the start so loop closure has
+    # several strong same-place keyframe pairs to work with (a 1.0-lap
+    # sequence ends the moment the loop becomes closable)
     seq = generate_sequence(
-        n_frames=80, width=512, height=160, trajectory="loop",
-        seed=11, cache_dir=data_cache_dir,
+        n_frames=92, width=512, height=160, trajectory="loop",
+        seed=11, laps=1.15, cache_dir=data_cache_dir,
     )
     cfg = SlamConfig(
         camera=CameraConfig(
@@ -62,6 +65,6 @@ def full_loop_run(data_cache_dir):
         orb=OrbConfig(n_features=1000),
     )
     sysm = System(cfg)
-    for i in range(80):
+    for i in range(seq.left.shape[0]):
         sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
     return sysm, seq

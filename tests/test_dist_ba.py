@@ -75,6 +75,82 @@ class TestDistributedBA:
         assert np.median(err) < 0.1
 
 
+class TestDistributedBACG:
+    def test_large_camera_count_no_truncation(self, mesh):
+        """The implicit-Schur distributed CG engine must carry a problem
+        LARGER than the dense engine's 256-camera cap with every camera
+        free, finite, and improved — the KITTI-00-scale regression guard
+        for the engine ladder (SlamMap._run_ba engine='dist')."""
+        rng = np.random.default_rng(7)
+        n_cam, n_shards = 300, 8
+        # small pose noise: BA always starts near the tracked solution;
+        # large left-multiplied rotation noise would put far-chain
+        # cameras metres off (rotation x lever arm), which no local
+        # bundle adjustment is meant to recover from
+        prob, T_true, pts = make_ba_problem(
+            rng, n_cam=n_cam, n_pnt=3072 - 8, noise_px=0.3,
+            pose_noise=0.004, pnt_noise=0.05, pad_pnt=8,
+            pnt_span=(-250.0, 12.0),
+        )
+        n_pnt = prob.pnt_pos.shape[0]
+        assert n_pnt % n_shards == 0
+        arrays = (
+            np.asarray(prob.obs_cam), np.asarray(prob.obs_uvr),
+            np.asarray(prob.obs_inv_sigma2),
+        )
+        new_pnt, (oc, ouvr, oisig), active = (
+            dist_ba.group_observations_by_point_shard(
+                np.asarray(prob.obs_pnt), n_pnt, n_shards, arrays)
+        )
+        prob = prob._replace(
+            obs_pnt=jnp.asarray(new_pnt), obs_cam=jnp.asarray(oc),
+            obs_uvr=jnp.asarray(ouvr), obs_inv_sigma2=jnp.asarray(oisig),
+            obs_active=jnp.asarray(active),
+        )
+
+        from pyorbslam_tpu.optim import ba_cg
+
+        sharded = dist_ba.shard_problem(prob, mesh)
+        cam_out, pnt_out, _ = dist_ba.distributed_bundle_adjust_cg(
+            sharded, mesh, n_cam=prob.cam_Tcw.shape[0],
+            iters1=3, iters2=5, cg_iters=64,
+        )
+        cam_out = np.asarray(cam_out)
+        assert np.isfinite(cam_out).all()
+        # cameras past the dense engine's 256 cap are NOT frozen: they
+        # moved off their (noisy) initialization
+        moved = np.linalg.norm(
+            cam_out[256:n_cam, :3, 3]
+            - np.asarray(prob.cam_Tcw)[256:n_cam, :3, 3], axis=1)
+        assert (moved > 1e-6).all(), moved.min()
+        # and the sharded solve tracks the single-device CG engine on
+        # the SAME untruncated problem (psum == global segment sum)
+        ref = ba_cg.bundle_adjust_cg(prob, iters1=3, iters2=5, cg_iters=64)
+        np.testing.assert_allclose(
+            cam_out[:n_cam, :3, 3],
+            np.asarray(ref.cam_Tcw)[:n_cam, :3, 3], atol=5e-3)
+        err = np.linalg.norm(
+            cam_out[:n_cam, :3, 3] - T_true[:, :3, 3], axis=1)
+        assert np.median(err) < 0.08, np.median(err)
+
+    def test_matches_single_device_cg(self, mesh):
+        """psum of per-shard segment sums == the global segment sum: the
+        sharded CG engine must numerically track the single-device one."""
+        from pyorbslam_tpu.optim import ba_cg
+
+        rng = np.random.default_rng(3)
+        prob, T_true, pts = shardable_problem(rng)
+        ref = ba_cg.bundle_adjust_cg(prob, iters1=3, iters2=5, cg_iters=48)
+        sharded = dist_ba.shard_problem(prob, mesh)
+        cam_out, pnt_out, _ = dist_ba.distributed_bundle_adjust_cg(
+            sharded, mesh, n_cam=prob.cam_Tcw.shape[0],
+            iters1=3, iters2=5, cg_iters=48,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cam_out)[:, :3, 3],
+            np.asarray(ref.cam_Tcw)[:, :3, 3], atol=2e-3)
+
+
 class TestDistributedPoseGraph:
     def test_matches_single_device_cg(self, mesh):
         """Sharded pose graph == single-device CG solver (the psum of

@@ -20,6 +20,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--frames", type=int, default=34)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="use window_feed/window_flush (overlap scan N+1 "
+                         "with host processing of window N)")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,9 @@ def main():
     wrap(vm, "train", "vocab.train")
     wrap(System, "_stereo_initialization", "sys.init(total)")
     wrap(System, "_track_fused", "sys.track_fused(total)")
+    wrap(System, "_commit_window", "sys.commit_window(total)")
+    wrap(System, "_dispatch_window", "sys.dispatch_window")
+    wrap(System, "_retrack_window_frame", "sys.retrack_frame")
 
     # time the window device dispatch + the packed read separately
     import pyorbslam_tpu.slam.tracking as trk
@@ -93,20 +99,26 @@ def main():
         if not enabled[0]:
             return orig_window(*a, **kw)
         t0 = time.perf_counter()
-        packed, frames = orig_window(*a, **kw)
+        packed, frames, carry = orig_window(*a, **kw)
         times["window.dispatch(async)"] += time.perf_counter() - t0
         counts["window.dispatch(async)"] += 1
         t0 = time.perf_counter()
         out = np.asarray(packed)
         times["window.sync_read"] += time.perf_counter() - t0
         counts["window.sync_read"] += 1
-        return out, frames
+        return out, frames, carry
     sysm_mod.fused_track_window = timed_window
 
     def run():
         sysm = System(cfg)
         W = args.window
-        if W:
+        if W and args.pipelined:
+            for w0 in range(0, n_frames - n_frames % W, W):
+                sysm.window_feed(
+                    seq.left[w0: w0 + W], seq.right[w0: w0 + W],
+                    seq.timestamps[w0: w0 + W])
+            sysm.window_flush()
+        elif W:
             for w0 in range(0, n_frames - n_frames % W, W):
                 sysm.track_stereo_window(
                     seq.left[w0: w0 + W], seq.right[w0: w0 + W],
@@ -125,12 +137,15 @@ def main():
     n_tracked = (n_frames - n_frames % args.window) if args.window else n_frames
     print(f"\ntotal {total:.2f}s  {n_tracked / total:.2f} fps  "
           f"kfs={int(sysm.map.keyframes.n)}")
+    if sysm.events:
+        from collections import Counter
+        print("schedule events:", dict(Counter(sysm.events)))
     acc = 0.0
     for k in sorted(times, key=times.get, reverse=True):
         print(f"{times[k]:7.3f}s  x{counts[k]:<4d} {k}")
-        if not k.startswith("sys.insert_kf"):
+        if "(total)" not in k:
             acc += times[k]
-    print(f"{acc:7.3f}s  accounted (excl. insert_kf total)")
+    print(f"{acc:7.3f}s  accounted (excl. (total) rollups)")
     print(f"{total - acc:7.3f}s  unaccounted (window dispatch + host glue)")
 
 
