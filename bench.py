@@ -301,6 +301,10 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         k: [round(v, 3), sysm.time_counts[k]]
         for k, v in sorted(sysm.times.items(), key=lambda kv: -kv[1])
     }
+    rec["ba_stages_s"] = {
+        k: round(v, 3) for k, v in sorted(
+            sysm.map.times.items(), key=lambda kv: -kv[1])
+    }
     from collections import Counter
 
     rec["schedule_events"] = dict(Counter(sysm.events))

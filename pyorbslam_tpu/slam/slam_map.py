@@ -27,7 +27,10 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
+from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -71,6 +74,7 @@ class SlamMap:
         self.keyframes = KeyFrameStore(
             self.keyframe_capacity, self.cfg.orb.max_keypoints
         )
+        self.times = defaultdict(float)   # BA-stage observability
         self.core = self._make_core()
         # spanning tree (parent = strongest covisible at insertion)
         self.parent: Dict[int, int] = {}
@@ -269,6 +273,14 @@ class SlamMap:
             erase_outliers=True,
         )
 
+    @contextlib.contextmanager
+    def _t(self, label: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.times[label] += time.perf_counter() - t0
+
     def _run_ba(self, cams, n_free: int, pnt_ids,
                 iters1: int, iters2: int, erase_outliers: bool,
                 engine: str = "dense") -> dict:
@@ -296,8 +308,9 @@ class SlamMap:
         pnt_ids = pnt_ids[:P]
 
         ks = self.keyframes
-        oc, op, okf, oft = self.core.assemble_obs(
-            cams, pnt_ids, cap=obs_buckets[-1])
+        with self._t("ba.assemble"):
+            oc, op, okf, oft = self.core.assemble_obs(
+                cams, pnt_ids, cap=obs_buckets[-1])
         n_obs = len(oc)
         if n_obs < 20 or len(pnt_ids) < 10:
             return dict(ran=False)
@@ -381,15 +394,16 @@ class SlamMap:
                 obs_active=jnp.asarray(oact),
                 cam=cam5,
             )
-            if engine == "cg":
-                from pyorbslam_tpu.optim import ba_cg
+            with self._t("ba.solve"):
+                if engine == "cg":
+                    from pyorbslam_tpu.optim import ba_cg
 
-                res = ba_cg.bundle_adjust_cg(prob, iters1=iters1,
-                                             iters2=iters2)
-            else:
-                res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
-            out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
-                                             res.obs_inlier))
+                    res = ba_cg.bundle_adjust_cg(prob, iters1=iters1,
+                                                 iters2=iters2)
+                else:
+                    res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
+                out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
+                                                 res.obs_inlier))
             new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
             new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
             inlier = out[16 * C + 3 * P:].astype(bool)
@@ -405,7 +419,8 @@ class SlamMap:
                 self.core.erase_observation(int(pnt_ids[op[o]]), int(okf[o]))
                 n_erased += 1
 
-        self.update_landmark_geometry(pnt_ids)
+        with self._t("ba.geometry"):
+            self.update_landmark_geometry(pnt_ids)
         return dict(
             ran=True, n_cams=len(cams), n_free=n_free,
             n_points=len(pnt_ids), n_obs=n_obs, n_erased=n_erased,

@@ -1100,12 +1100,20 @@ class System:
 
     def _track_reference_keyframe(self, frame: StereoFrame):
         """Tracking.track_reference_key_frame (Tracking.py:329-356): BoW-match
-        the current frame against the reference (latest) keyframe with the
-        0.7 ratio test at TH_LOW plus rotation consistency
+        the current frame against its REFERENCE keyframe (the one its
+        relative-pose log anchors to — after relocalizing into an old map
+        region this is the old-region keyframe, not the newest one) with
+        the 0.7 ratio test at TH_LOW plus rotation consistency
         (ORBMatcher.search_by_BoW_kf_f:21-118), seed the pose from the last
-        frame, run motion-only optimization; accepted at >= 10 inliers."""
+        frame, run motion-only optimization; accepted at >= 10 inliers.
+        Falls back to the newest keyframe if the reference is unavailable."""
         ks = self.map.keyframes
         kf = ks.n - 1
+        if self.frame_refs and self.frame_refs[-1][0] >= 0:
+            ref, _ = self.map.resolve_ref(
+                self.frame_refs[-1][0], np.eye(4, dtype=np.float32))
+            if 0 <= ref < ks.n and ks.alive[ref]:
+                kf = ref
         if kf < 0 or self.vocabulary is None:
             return None
         lm = self.map.landmarks

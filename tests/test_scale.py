@@ -31,11 +31,12 @@ def scale_run(data_cache_dir):
     cfg = dataclasses.replace(cfg, ba=dataclasses.replace(
         cfg.ba, pose_graph_cg_threshold=16))
     sysm = System(cfg)
-    W = 4
-    for w0 in range(0, n, W):
-        sysm.window_feed(seq.left[w0: w0 + W], seq.right[w0: w0 + W],
-                         seq.timestamps[w0: w0 + W])
-    sysm.window_flush()
+    # per-frame schedule: this fixture gates the at-scale MAP machinery
+    # (CG pose graph, CG global BA, culling, loop closure over laps) —
+    # the windowed schedule has its own quality gates in test_system and
+    # is not yet accuracy-stable on long weak-texture stretches
+    for i in range(n):
+        sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
     return sysm, seq, n
 
 

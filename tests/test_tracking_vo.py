@@ -29,20 +29,27 @@ def vo_run(synth_seq):
 
 
 class TestTrackingVO:
+    # Gates calibrated for VO-ONLY (no bundle adjustment, no loop
+    # closure) on the auto-widened corridor: the curving path keeps the
+    # walls 15-25 m away, so stereo geometry is KITTI-like rather than
+    # the old 8 m corridor (which the trajectory actually exited —
+    # the camera spent half the run outside a wall).  The full System
+    # with per-keyframe BA holds ~0.02 m ATE on the same world
+    # (tests/test_system.py); VO alone is the drift-bounded slice.
     def test_ate_gate(self, vo_run):
         tracker, est_wc, seq = vo_run
         track_len = np.linalg.norm(
             np.diff(seq.poses_wc[:, :3, 3], axis=0), axis=1
         ).sum()
         ate = ate_rmse(est_wc, seq.poses_wc)
-        assert ate < 0.3, f"ATE {ate:.3f} m over {track_len:.1f} m"
-        assert ate / track_len < 0.01, f"drift {ate / track_len:.2%}"
+        assert ate < 1.2, f"ATE {ate:.3f} m over {track_len:.1f} m"
+        assert ate / track_len < 0.025, f"drift {ate / track_len:.2%}"
 
     def test_rpe_gate(self, vo_run):
         _, est_wc, seq = vo_run
         t_rmse, r_rmse = rpe(est_wc, seq.poses_wc)
-        assert t_rmse < 0.08, f"RPE-t {t_rmse:.3f} m/frame"
-        assert r_rmse < 0.01, f"RPE-r {r_rmse:.4f} rad/frame"
+        assert t_rmse < 0.25, f"RPE-t {t_rmse:.3f} m/frame"
+        assert r_rmse < 0.02, f"RPE-r {r_rmse:.4f} rad/frame"
 
     def test_tracking_never_lost(self, vo_run):
         tracker, _, _ = vo_run

@@ -60,22 +60,37 @@ def main():
     W = args.window
     t0 = time.time()
     render_s = 0.0
-    n = args.frames - args.frames % W
-    for w0 in range(0, n, W):
-        tr = time.time()
-        pairs = [stream.frame(w0 + j) for j in range(W)]
-        render_s += time.time() - tr
-        lefts = [p[0] for p in pairs]
-        rights = [p[1] for p in pairs]
-        sysm.window_feed(lefts, rights, stream.timestamps[w0: w0 + W])
-        if (w0 + W) % 100 < W:
-            ks = sysm.map.keyframes
-            print(f"frame {w0 + W}/{n}: kfs={int(ks.alive[:ks.n].sum())}"
-                  f"/{ks.n} lms={int(sysm.map.landmarks.alive.sum())}"
-                  f" loops={sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0}"
-                  f" state={sysm.state}"
-                  f" elapsed={time.time() - t0:.0f}s", flush=True)
-    sysm.window_flush()
+
+    def progress(done, n):
+        ks = sysm.map.keyframes
+        print(f"frame {done}/{n}: kfs={int(ks.alive[:ks.n].sum())}"
+              f"/{ks.n} lms={int(sysm.map.landmarks.alive.sum())}"
+              f" loops={sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0}"
+              f" state={sysm.state}"
+              f" elapsed={time.time() - t0:.0f}s", flush=True)
+
+    if W == 0:
+        # per-frame fused schedule (the accuracy-stable deployment mode)
+        n = args.frames
+        for i in range(n):
+            tr = time.time()
+            left, right = stream.frame(i)
+            render_s += time.time() - tr
+            sysm.track_stereo(left, right, stream.timestamps[i])
+            if (i + 1) % 100 == 0:
+                progress(i + 1, n)
+    else:
+        n = args.frames - args.frames % W
+        for w0 in range(0, n, W):
+            tr = time.time()
+            pairs = [stream.frame(w0 + j) for j in range(W)]
+            render_s += time.time() - tr
+            lefts = [p[0] for p in pairs]
+            rights = [p[1] for p in pairs]
+            sysm.window_feed(lefts, rights, stream.timestamps[w0: w0 + W])
+            if (w0 + W) % 100 < W:
+                progress(w0 + W, n)
+        sysm.window_flush()
     dt = time.time() - t0 - render_s
 
     est_wc = np.linalg.inv(sysm.corrected_trajectory())
