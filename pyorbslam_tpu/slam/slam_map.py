@@ -48,11 +48,16 @@ COVIS_TH = 15
 @jax.jit
 def _pack_ba_result(cam_Tcw, pnt_pos, inlier):
     """BA write-back in one int32 buffer (one ~30ms tunnel read instead
-    of three): [cam_Tcw bits 16C | pnt_pos bits 3P | inlier O]."""
+    of three): [cam_Tcw bits 16C | pnt_pos bits 3P | inlier bits O/32]
+    — the inlier mask is bitpacked (a 256k-observation bucket otherwise
+    costs 1 MB of tunnel bandwidth for booleans)."""
+    bits = inlier.astype(jnp.uint32).reshape(-1, 32)
+    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
     return jnp.concatenate([
         jax.lax.bitcast_convert_type(cam_Tcw, jnp.int32).reshape(-1),
         jax.lax.bitcast_convert_type(pnt_pos, jnp.int32).reshape(-1),
-        inlier.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(words, jnp.int32),
     ])
 
 
@@ -406,7 +411,9 @@ class SlamMap:
                                                  res.obs_inlier))
             new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
             new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
-            inlier = out[16 * C + 3 * P:].astype(bool)
+            inlier = np.unpackbits(
+                out[16 * C + 3 * P:].view(np.uint8),
+                bitorder="little")[:O].astype(bool)
 
         for i in range(n_free):
             if not cam_fixed[i]:
