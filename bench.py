@@ -42,6 +42,9 @@ def main():
         return bench_full_pipeline(window=0, tracking_fps=tracking_fps)
     if bench_config == "pipeline":
         return bench_full_pipeline()
+    if bench_config == "highdensity_pipeline":
+        # BASELINE config 4 through the FULL pipeline (matcher/BA stress)
+        return bench_full_pipeline(n_features=8000)
     if bench_config == "pipeline_window":
         return bench_full_pipeline(window=int(os.environ.get("BENCH_WINDOW", "8")))
     if bench_config == "pipeline_pipelined":
@@ -205,7 +208,7 @@ def bench_tracking_scan(emit: bool = True):
 
 
 def bench_full_pipeline(window: int = 0, pipelined: bool = False,
-                        tracking_fps=None):
+                        tracking_fps=None, n_features: int = 2000):
     """Full-pipeline frames/s: tracking + local mapping + local BA +
     loop closing live (BASELINE config 2).  A first pass over the
     sequence populates every jit cache (the per-frame fused step,
@@ -235,7 +238,7 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
             cx=float(seq.K[0, 2]), cy=float(seq.K[1, 2]),
             width=width, height=height, bf=seq.bf, th_depth=40.0,
         ),
-        orb=OrbConfig(n_features=2000),
+        orb=OrbConfig(n_features=n_features),
     )
 
     def run():
@@ -287,7 +290,7 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         "vs_baseline": round(fps / baseline_fps, 2),
         "baseline_fps": baseline_fps,
         "baseline_source": baseline_src,
-        "config": "1241x376 stereo, 2000 ORB features, 8 levels, "
+        "config": f"1241x376 stereo, {n_features} ORB features, 8 levels, "
                   "tracking + local mapping + local BA + loop closing"
                   + (f", window={window} ({mode})" if window else ""),
         "n_frames": n_tracked,

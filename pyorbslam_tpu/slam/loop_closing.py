@@ -573,8 +573,31 @@ class LoopCloser:
         self.last_loop_kf = kf
         self.n_loops_closed += 1
 
-        # ---------------- global BA ----------------
-        self.map.global_ba()
+        # ---------------- global BA (bounded slices) ----------------
+        # The reference runs GBA on its own thread and aborts it when a
+        # new loop arrives (mbStopGBA, LoopClosing.py:342-436).  Here the
+        # iteration budget is amortized: one fixed-size slice now (the
+        # essential graph already placed every pose; GBA polishes), the
+        # rest interleaved one slice per subsequent keyframe via
+        # :meth:`run_gba_slice` — a new loop closure resets the pending
+        # budget, which IS the abort semantics.
+        self._gba_remaining = self.cfg.ba.gba_iters
+        self.run_gba_slice()
+
+    GBA_SLICE = 2   # LM iterations per slice (fixed: one compiled program)
+
+    def run_gba_slice(self) -> bool:
+        """Run one bounded global-BA slice if budget remains; returns
+        True if a slice ran.  Each slice re-linearizes, so interleaving
+        slices with tracking is safe — the map just converges over the
+        next few keyframes instead of stalling tracking for the full
+        10-iteration solve."""
+        remaining = getattr(self, "_gba_remaining", 0)
+        if remaining <= 0:
+            return False
+        self._gba_remaining = remaining - self.GBA_SLICE
+        self.map.global_ba(iters=self.GBA_SLICE)
+        return True
 
     def _search_and_fuse(self, cur_group: List[int], loop_kf: int):
         """Project the loop-region point cloud into each corrected

@@ -236,9 +236,14 @@ class SlamMap:
 
     # ------------- global bundle adjustment -------------
 
-    def global_ba(self) -> dict:
+    def global_ba(self, iters: Optional[int] = None) -> dict:
         """Optimizer.bundle_adjustment (Optimizer.py:21-121): all KFs and
-        landmarks, KF 0 fixed, 10 iterations — run after loop closure."""
+        landmarks, KF 0 fixed, gba_iters (10) LM iterations — run after
+        loop closure.  ``iters`` overrides the iteration count for
+        BOUNDED SLICES: the loop closer amortizes the full budget across
+        subsequent keyframes (the reference's backgrounded, abortable GBA
+        thread, LoopClosing.py:342-436, redesigned as interleaved slices
+        — each slice re-linearizes, so splitting is safe)."""
         C_live = [k for k in range(self.keyframes.n) if self.keyframes.alive[k]]
         pnt_ids = self.core.observed_landmarks(self.landmarks.n)
         if len(C_live) < 2 or len(pnt_ids) < 50:
@@ -259,7 +264,8 @@ class SlamMap:
         # with bRobust=True and no re-gated second phase)
         return self._run_ba(
             cams=C_live, n_free=len(C_live), pnt_ids=pnt_ids,
-            iters1=self.cfg.ba.gba_iters, iters2=0,
+            iters1=(self.cfg.ba.gba_iters if iters is None else iters),
+            iters2=0,
             erase_outliers=False, engine=engine,
         )
 

@@ -1077,6 +1077,11 @@ class System:
             pre = self.map.keyframes.Tcw[kf].copy()
             with self._t("kf.loop"):
                 closed = self.loop_closer.on_keyframe(kf, bow)
+            if not closed and self.loop_closer.run_gba_slice():
+                # amortized global-BA slice from a recent loop closure
+                # (bounded per-keyframe latency; see LoopCloser.correct)
+                delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
+                self.Tcw = (delta @ self.Tcw).astype(np.float32)
             if closed:
                 # loop correction + pose graph + GBA rewrote the map;
                 # adopt the corrected current pose and clear the motion
