@@ -63,12 +63,37 @@ class BAResult(NamedTuple):
 
 
 @f32_matmuls
+def _bmv(A, x):
+    """Batched (..., i, j) @ (..., j) as broadcast-multiply-sum.  The
+    inner dims here are 3/6 — as einsum XLA lowers them to PADDED MXU
+    batched matmuls (measured 1.6x slower at 88k observations) and runs
+    them bf16 outside a precision context; the broadcast form stays on
+    the VPU in exact f32."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def _bmm(A, B):
+    """Batched (..., i, j) @ (..., j, k); see :func:`_bmv`."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _btb(A, B):
+    """Batched A^T B: (..., i, j), (..., i, k) -> (..., j, k);
+    see :func:`_bmv`."""
+    return jnp.sum(A[..., :, :, None] * B[..., :, None, :], axis=-3)
+
+
+def _btv(A, x):
+    """Batched A^T x: (..., i, j), (..., i) -> (..., j); see :func:`_bmv`."""
+    return jnp.sum(A * x[..., :, None], axis=-2)
+
+
 def _residuals(prob: BAProblem, cam_Tcw, pnt_pos):
     """Residuals (O, 3), Jacobians Jc (O, 3, 6), Jp (O, 3, 3), depth (O,)."""
     fx, fy, cx, cy, bf = (prob.cam[i] for i in range(5))
     T = cam_Tcw[prob.obs_cam]            # (O, 4, 4)
     X = pnt_pos[prob.obs_pnt]            # (O, 3)
-    Pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
+    Pc = _bmv(T[:, :3, :3], X) + T[:, :3, 3]
     x, y, z = Pc[:, 0], Pc[:, 1], Pc[:, 2]
     zsafe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     invz = 1.0 / zsafe
@@ -89,8 +114,8 @@ def _residuals(prob: BAProblem, cam_Tcw, pnt_pos):
         [-se3.hat(Pc), jnp.broadcast_to(jnp.eye(3), Pc.shape[:-1] + (3, 3))],
         axis=-1,
     )                                              # (O, 3, 6)
-    Jc = -jnp.einsum("oij,ojk->oik", dh_dp, dp_dxi)
-    Jp = -jnp.einsum("oij,ojk->oik", dh_dp, T[:, :3, :3])
+    Jc = -_bmm(dh_dp, dp_dxi)
+    Jp = -_bmm(dh_dp, T[:, :3, :3])
     return e, Jc, Jp, z
 
 
@@ -142,18 +167,18 @@ def _lm_iteration(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
 
     # block accumulations
     Hcc = jax.ops.segment_sum(
-        w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jc),
+        w[:, None, None] * _btb(Jc, Jc),
         prob.obs_cam, num_segments=n_cam,
     )  # (C, 6, 6)
     bc = jax.ops.segment_sum(
-        w[:, None] * jnp.einsum("oij,oi->oj", Jc, e), prob.obs_cam, n_cam
+        w[:, None] * _btv(Jc, e), prob.obs_cam, n_cam
     )  # (C, 6)
     Hpp = jax.ops.segment_sum(
-        w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp),
+        w[:, None, None] * _btb(Jp, Jp),
         prob.obs_pnt, num_segments=n_pnt,
     )  # (P, 3, 3)
     bp = jax.ops.segment_sum(
-        w[:, None] * jnp.einsum("oij,oi->oj", Jp, e), prob.obs_pnt, n_pnt
+        w[:, None] * _btv(Jp, e), prob.obs_pnt, n_pnt
     )  # (P, 3)
 
     # multiplicative LM damping on both block diagonals
@@ -163,8 +188,8 @@ def _lm_iteration(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
     Hpp_d = Hpp + lam * Hpp * eye3 + 1e-8 * eye3
     Hpp_inv = _inv3x3(Hpp_d)
 
-    W = w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jp)   # (O, 6, 3)
-    WHinv = jnp.einsum("ojk,okl->ojl", W, Hpp_inv[prob.obs_pnt])  # (O, 6, 3)
+    W = w[:, None, None] * _btb(Jc, Jp)   # (O, 6, 3)
+    WHinv = _bmm(W, Hpp_inv[prob.obs_pnt])  # (O, 6, 3)
 
     A = jnp.zeros((n_cam, 6, n_pnt, 3)).at[prob.obs_cam, :, prob.obs_pnt, :].add(W)
     M = jnp.zeros((n_cam, 6, n_pnt, 3)).at[prob.obs_cam, :, prob.obs_pnt, :].add(WHinv)
@@ -188,9 +213,9 @@ def _lm_iteration(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber):
     dc = -jnp.linalg.solve(S_red, rhs).reshape(n_cam, 6)
 
     # back-substitute points: dp = -Hpp^-1 (bp + sum_o W^T dc[cam_o])
-    Wt_dc = jnp.einsum("ojk,oj->ok", W, dc[prob.obs_cam])       # (O, 3)
+    Wt_dc = _btv(W, dc[prob.obs_cam])       # (O, 3)
     acc = jax.ops.segment_sum(Wt_dc, prob.obs_pnt, num_segments=n_pnt)
-    dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + acc)
+    dp = -_bmv(Hpp_inv, bp + acc)
     dp = dp * prob.pnt_active[:, None]
 
     cam_new = se3.retract(cam_Tcw, dc)

@@ -41,6 +41,10 @@ import numpy as np
 from pyorbslam_tpu.geometry import se3
 from pyorbslam_tpu.optim.ba import (
     BAProblem,
+    _bmm,
+    _bmv,
+    _btb,
+    _btv,
     BAResult,
     CHI2_STEREO,
     HUBER_DELTA,
@@ -73,25 +77,25 @@ def _schur_blocks(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber,
     w = w * prob.obs_inv_sigma2 * active
 
     Hcc = _psum(jax.ops.segment_sum(
-        w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jc),
+        w[:, None, None] * _btb(Jc, Jc),
         prob.obs_cam, num_segments=n_cam,
     ), axis)
     bc = _psum(jax.ops.segment_sum(
-        w[:, None] * jnp.einsum("oij,oi->oj", Jc, e), prob.obs_cam, n_cam
+        w[:, None] * _btv(Jc, e), prob.obs_cam, n_cam
     ), axis)
     Hpp = jax.ops.segment_sum(
-        w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp),
+        w[:, None, None] * _btb(Jp, Jp),
         prob.obs_pnt, num_segments=n_pnt,
     )
     bp = jax.ops.segment_sum(
-        w[:, None] * jnp.einsum("oij,oi->oj", Jp, e), prob.obs_pnt, n_pnt
+        w[:, None] * _btv(Jp, e), prob.obs_pnt, n_pnt
     )
 
     eye6, eye3 = jnp.eye(6), jnp.eye(3)
     Hcc_d = Hcc + lam * Hcc * eye6 + 1e-8 * eye6
     Hpp_d = Hpp + lam * Hpp * eye3 + 1e-8 * eye3
     Hpp_inv = _inv3x3(Hpp_d)
-    W = w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jp)  # (O, 6, 3)
+    W = w[:, None, None] * _btb(Jc, Jp)  # (O, 6, 3)
     return Hcc_d, bc, Hpp_inv, bp, W
 
 
@@ -101,14 +105,14 @@ def _make_matvec(prob: BAProblem, Hcc_d, Hpp_inv, W, free, axis=None):
 
     def matvec(v):  # v: (C, 6) replicated across shards
         vf = v * free[:, None]
-        y1 = jnp.einsum("cij,cj->ci", Hcc_d, vf)
+        y1 = _bmv(Hcc_d, vf)
         wt_v = jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", W, vf[prob.obs_cam]),
+            _btv(W, vf[prob.obs_cam]),
             prob.obs_pnt, num_segments=n_pnt,
         )                                             # (P, 3) = W^T v
-        t = jnp.einsum("pij,pj->pi", Hpp_inv, wt_v)   # Hpp^-1 W^T v
+        t = _bmv(Hpp_inv, wt_v)   # Hpp^-1 W^T v
         y2 = _psum(jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", W, t[prob.obs_pnt]),
+            _bmv(W, t[prob.obs_pnt]),
             prob.obs_cam, num_segments=n_cam,
         ), axis)                                      # (C, 6)
         y = (y1 - y2) * free[:, None]
@@ -121,7 +125,7 @@ def _pcg(matvec, b, Minv, iters):
     """Block-Jacobi preconditioned CG on the (C, 6) vector space."""
 
     def precond(r):
-        return jnp.einsum("cij,cj->ci", Minv, r)
+        return _bmv(Minv, r)
 
     def dot(a, b_):
         return jnp.sum(a * b_)
@@ -162,16 +166,16 @@ def _lm_iteration_cg(prob: BAProblem, cam_Tcw, pnt_pos, active, lam,
     matvec = _make_matvec(prob, Hcc_d, Hpp_inv, W, free, axis)
 
     # rhs = bc - W Hpp^-1 bp, zeroed on fixed cameras
-    t = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
+    t = _bmv(Hpp_inv, bp)
     rhs = bc - _psum(jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", W, t[prob.obs_pnt]),
+        _bmv(W, t[prob.obs_pnt]),
         prob.obs_cam, num_segments=Hcc_d.shape[0],
     ), axis)
     rhs = rhs * free[:, None]
 
     # exact 6x6 diagonal blocks of S for the preconditioner
     WHW = _psum(jax.ops.segment_sum(
-        jnp.einsum("oij,ojk,olk->oil", W, Hpp_inv[prob.obs_pnt], W),
+        _bmm(_bmm(W, Hpp_inv[prob.obs_pnt]), jnp.swapaxes(W, -1, -2)),
         prob.obs_cam, num_segments=Hcc_d.shape[0],
     ), axis)
     S_diag = Hcc_d - WHW
@@ -187,10 +191,10 @@ def _lm_iteration_cg(prob: BAProblem, cam_Tcw, pnt_pos, active, lam,
 
     # back-substitute landmarks
     Wt_dc = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam]),
+        _btv(W, dc[prob.obs_cam]),
         prob.obs_pnt, num_segments=n_pnt,
     )
-    dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + Wt_dc)
+    dp = -_bmv(Hpp_inv, bp + Wt_dc)
     dp = dp * prob.pnt_active[:, None]
 
     cam_new = se3.retract(cam_Tcw, dc)

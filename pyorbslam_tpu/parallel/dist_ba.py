@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pyorbslam_tpu.geometry import se3
 from pyorbslam_tpu.optim import ba as ba_mod
 from pyorbslam_tpu.optim.ba import BAProblem
+from pyorbslam_tpu.optim.ba import _bmm, _bmv, _btb, _btv
 
 shard_map = jax.shard_map
 
@@ -99,22 +100,22 @@ def _local_schur(prob: BAProblem, cam_Tcw, pnt_pos, active, lam, use_huber,
     w = w * prob.obs_inv_sigma2 * active
 
     Hcc = jax.ops.segment_sum(
-        w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jc),
+        w[:, None, None] * _btb(Jc, Jc),
         prob.obs_cam, num_segments=n_cam)
     bc = jax.ops.segment_sum(
-        w[:, None] * jnp.einsum("oij,oi->oj", Jc, e), prob.obs_cam, n_cam)
+        w[:, None] * _btv(Jc, e), prob.obs_cam, n_cam)
     Hpp = jax.ops.segment_sum(
-        w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp),
+        w[:, None, None] * _btb(Jp, Jp),
         prob.obs_pnt, num_segments=n_pnt_local)
     bp = jax.ops.segment_sum(
-        w[:, None] * jnp.einsum("oij,oi->oj", Jp, e), prob.obs_pnt, n_pnt_local)
+        w[:, None] * _btv(Jp, e), prob.obs_pnt, n_pnt_local)
 
     eye3 = jnp.eye(3)
     Hpp_d = Hpp + lam * Hpp * eye3 + 1e-8 * eye3
     Hpp_inv = ba_mod._inv3x3(Hpp_d)
 
-    W = w[:, None, None] * jnp.einsum("oij,oik->ojk", Jc, Jp)       # (O, 6, 3)
-    WHinv = jnp.einsum("ojk,okl->ojl", W, Hpp_inv[prob.obs_pnt])
+    W = w[:, None, None] * _btb(Jc, Jp)       # (O, 6, 3)
+    WHinv = _bmm(W, Hpp_inv[prob.obs_pnt])
 
     A = jnp.zeros((n_cam, 6, n_pnt_local, 3)).at[prob.obs_cam, :, prob.obs_pnt, :].add(W)
     M = jnp.zeros((n_cam, 6, n_pnt_local, 3)).at[prob.obs_cam, :, prob.obs_pnt, :].add(WHinv)
@@ -181,10 +182,10 @@ def distributed_bundle_adjust(
                 dc = -jnp.linalg.solve(S, rhs).reshape(n_cam, 6)
 
                 # local landmark back-substitution
-                Wt_dc = jnp.einsum("ojk,oj->ok", W, dc[local.obs_cam])
+                Wt_dc = _btv(W, dc[local.obs_cam])
                 acc = jax.ops.segment_sum(
                     Wt_dc, local.obs_pnt, num_segments=pnt_per_shard)
-                dp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + acc)
+                dp = -_bmv(Hpp_inv, bp + acc)
                 dp = dp * local.pnt_active[:, None]
 
                 cam_new = se3.retract(cT, dc)

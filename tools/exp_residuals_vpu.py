@@ -17,7 +17,7 @@ from tests.test_ba import make_ba_problem
 def _bmv(A, x):   # (...,i,j) @ (...,j)
     return jnp.sum(A * x[..., None, :], axis=-1)
 def _bmm(A, B):   # (...,i,j) @ (...,j,k)
-    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-3)
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 def residuals_vpu(prob, cam_Tcw, pnt_pos):
     fx, fy, cx, cy, bf = (prob.cam[i] for i in range(5))
