@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyorbslam_tpu.geometry import se3
+from pyorbslam_tpu.optim.ba import _bmm
 
 from pyorbslam_tpu.utils.precision import f32_matmuls
 
@@ -68,7 +69,7 @@ def stereo_residual_jacobian(
 
     # dPc/dxi with left-multiplicative update: dPc = -[Pc]x w + up
     dp_dxi = jnp.concatenate([-se3.hat(Pc), jnp.broadcast_to(jnp.eye(3), Pc.shape[:-1] + (3, 3))], axis=-1)  # (N, 3, 6)
-    J = -jnp.einsum("nij,njk->nik", dh_dp, dp_dxi)
+    J = -_bmm(dh_dp, dp_dxi)   # tiny inner dims: VPU form (see ba._bmv)
     return e, J
 
 
