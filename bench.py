@@ -32,14 +32,19 @@ def main():
     # pipeline per-frame / sync-windowed.
     bench_config = os.environ.get("BENCH_CONFIG", "")
     if bench_config == "":
-        # DEFAULT (driver-visible): the full pipeline in the PER-FRAME
-        # fused schedule — one device dispatch + one packed read per
-        # frame, inline per-keyframe mapping.  The windowed scan modes
-        # (below) are faster per dispatch but their frozen-map windows
-        # currently cost accuracy at full KITTI resolution; the default
-        # reports the configuration that holds the ATE gate.
+        # DEFAULT (driver-visible): the full pipeline in the PIPELINED
+        # per-frame schedule — each call dispatches frame N chained off
+        # frame N-1's device carry and commits frame N-1, so upload,
+        # compute and readback overlap through the device tunnel
+        # (System.track_stereo_async).  Per-frame map updates, per-frame
+        # keyframe decisions — the reference's semantics with its async
+        # tracking/mapping overlap.
         tracking_fps = bench_tracking_scan(emit=False)
-        return bench_full_pipeline(window=0, tracking_fps=tracking_fps)
+        return bench_full_pipeline(window=0, async_mode=True,
+                                   tracking_fps=tracking_fps)
+    if bench_config == "perframe":
+        # the synchronous per-frame schedule (round-3 default)
+        return bench_full_pipeline(window=0)
     if bench_config == "pipeline":
         return bench_full_pipeline()
     if bench_config == "highdensity_pipeline":
@@ -208,7 +213,8 @@ def bench_tracking_scan(emit: bool = True):
 
 
 def bench_full_pipeline(window: int = 0, pipelined: bool = False,
-                        tracking_fps=None, n_features: int = 2000):
+                        tracking_fps=None, n_features: int = 2000,
+                        async_mode: bool = False):
     """Full-pipeline frames/s: tracking + local mapping + local BA +
     loop closing live (BASELINE config 2).  A first pass over the
     sequence populates every jit cache (the per-frame fused step,
@@ -255,6 +261,11 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
                 sysm.track_stereo_window(
                     seq.left[w0: w0 + window], seq.right[w0: w0 + window],
                     seq.timestamps[w0: w0 + window])
+        elif async_mode:
+            for i in range(n):
+                sysm.track_stereo_async(
+                    seq.left[i], seq.right[i], seq.timestamps[i])
+            sysm.flush_async()
         else:
             for i in range(n):
                 sysm.track_stereo(seq.left[i], seq.right[i], seq.timestamps[i])
@@ -282,7 +293,8 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         baseline_fps = 10.0
         baseline_src = "upstream-cpp-estimate"
 
-    mode = ("pipelined" if pipelined else "window") if window else "per-frame"
+    mode = ("pipelined" if pipelined else "window") if window else \
+        ("async" if async_mode else "per-frame")
     rec = {
         "metric": "full_pipeline_frames_per_s_per_chip",
         "value": round(fps, 2),
@@ -292,7 +304,8 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         "baseline_source": baseline_src,
         "config": f"1241x376 stereo, {n_features} ORB features, 8 levels, "
                   "tracking + local mapping + local BA + loop closing"
-                  + (f", window={window} ({mode})" if window else ""),
+                  + (f", window={window} ({mode})" if window
+                     else f", {mode} schedule"),
         "n_frames": n_tracked,
         "n_keyframes": int(sysm.map.keyframes.n),
         "ate_rmse_m": round(ate, 4),

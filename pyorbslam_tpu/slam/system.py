@@ -43,6 +43,7 @@ from pyorbslam_tpu.slam.slam_map import SlamMap
 from pyorbslam_tpu.slam.tracking import (
     fused_retrack_snapshot_step,
     fused_retrack_step,
+    fused_track_chain_step,
     fused_track_step,
     fused_track_window,
     kf_snapshot,
@@ -175,6 +176,8 @@ class System:
         self._mapper_queue = None    # None = idle (per-frame schedule)
         self._pending_window = None  # in-flight pipelined window
         self._scan_correction = None
+        # ---- pipelined per-frame (async) schedule state ----
+        self._async_q: list = []     # in-flight dispatch records (<= 1)
         self._chain_healthy = True   # raw device chain tracks host chain
         self._defer_maintenance = False  # windowed commit in progress
         self._maint_queue: list = []     # (kf, bow) awaiting mapping work
@@ -216,6 +219,156 @@ class System:
         else:
             self.frame_refs.append((-1, self.Tcw.copy()))
         return self.Tcw
+
+    # ---------------- pipelined per-frame (async) schedule ----------------
+    #
+    # The deployed software pipeline.  Each call, in order:
+    #   1. ENQUEUE the new frame's image upload (asynchronous — the
+    #      transfer streams while everything below runs);
+    #   2. COMMIT the frame dispatched last call: its packed row has been
+    #      copying to the host since dispatch, so the read is free; the
+    #      commit updates pose/state, decides and INSERTS a keyframe
+    #      (bindings + stereo landmarks + BoW registration) — its feature
+    #      snapshot was prefetched speculatively at dispatch;
+    #   3. DISPATCH this frame's fused tracking step against the map as
+    #      of the commit (same freshness as the synchronous path);
+    #   4. run the committed keyframe's MAPPING work (triangulation,
+    #      fuse, local BA, loop closing) while the chip tracks — the
+    #      TPU-native form of the reference's async Tracking/LocalMapping
+    #      split (System.py:58-64, LocalMapping.py:43-84); its pose
+    #      refinements fold into the in-flight frame at its commit.
+
+    def track_stereo_async(self, left, right, timestamp) -> np.ndarray:
+        """Feed one stereo pair into the pipelined schedule; returns the
+        pose of the last COMMITTED frame (one frame behind the feed —
+        call :meth:`flush_async` to commit the tail).  Falls back to the
+        synchronous per-frame machine until initialized or after a
+        tracking loss."""
+        if self.state not in ("OK", "MARGINAL") or self.map.keyframes.n == 0:
+            self.flush_async()
+            return self.track_stereo(left, right, timestamp)
+        left = jnp.asarray(left)     # upload streams under the commit
+        right = jnp.asarray(right)
+        if self._async_q:
+            self._commit_chain(self._async_q.pop(0))
+        if self.state in ("OK", "MARGINAL") and self.map.keyframes.n > 0:
+            self._dispatch_chain(left, right, timestamp)
+            self._run_maintenance_queue()   # overlaps the in-flight scan
+        else:
+            # the commit lost tracking: this frame goes through the
+            # synchronous rescue machine instead
+            self._run_maintenance_queue()
+            self.track_stereo(left, right, timestamp)
+        return self.Tcw
+
+    def flush_async(self):
+        """Commit every in-flight pipelined frame."""
+        while self._async_q:
+            self._commit_chain(self._async_q.pop(0))
+        self._run_maintenance_queue()
+
+    def _dispatch_chain(self, left, right, timestamp):
+        with self._t("async.dispatch"):
+            self._dispatch_chain_inner(left, right, timestamp)
+
+    def _dispatch_chain_inner(self, left, right, timestamp):
+        lm = self.map.landmarks
+        mirror = self._landmark_mirror()
+        local_ids = self._local_point_ids(self.last_assign)
+        cap = _cap_bucket(len(local_ids), self.cfg.tracking.max_local_points)
+        p_ids = np.full(cap, -1, np.int32)
+        p_ids[: len(local_ids)] = local_ids
+
+        q_lm = lm.resolve(self.last_assign)
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        row, frame = fused_track_chain_step(
+            left, right, *mirror,
+            self.last_frame, jnp.asarray(q_lm),
+            jnp.asarray(Tcw_pred), jnp.asarray(self.Tcw),
+            jnp.asarray(p_ids), self.cfg,
+        )
+        if hasattr(row, "copy_to_host_async"):
+            row.copy_to_host_async()   # readback overlaps the next compute
+        # speculative keyframe-snapshot prefetch: if this frame becomes a
+        # keyframe at commit, its feature snapshot + BoW will already be
+        # on the host (skipping the ~1 round-trip stall); cadence
+        # heuristic — keyframes essentially never follow within 2 frames
+        if self.frame_id + 1 - self.last_kf_frame >= 2:
+            self._prefetch_snapshot(frame)
+        self._async_q.append(dict(
+            row=row, frame=frame, base=self.Tcw.copy(),
+            p_ids=p_ids, n_local=len(local_ids),
+            n_feat=int(q_lm.shape[0]), timestamp=timestamp,
+        ))
+
+    def _commit_chain(self, rec):
+        with self._t("async.commit"):
+            self._commit_chain_inner(rec)
+
+    def _commit_chain_inner(self, rec):
+        lm = self.map.landmarks
+        self.frame_id += 1
+        with self._t("async.read"):
+            out = np.asarray(rec["row"])
+        N, P = rec["n_feat"], len(rec["p_ids"])
+        stats = out[:5]
+        raw = out[5:21].copy().view(np.float32).reshape(4, 4)
+        n_matches, n_in_motion, n_in_local = (int(x) for x in stats[:3])
+
+        # deferred maintenance may have refined the pose this frame's
+        # prediction chained from (rec["base"]); rebase preserving the
+        # tracked relative motion.  base == self.Tcw in the common
+        # no-refinement case, making this exactly `raw`.
+        healthy = (n_matches >= 20 and n_in_motion >= 20
+                   and n_in_local >= 10 and np.isfinite(raw).all())
+        if healthy:
+            Tcw_i = np.ascontiguousarray(
+                raw @ np.linalg.inv(rec["base"]) @ self.Tcw, np.float32)
+        if not healthy:
+            # weak tracking: the full per-frame state machine (motion
+            # retry, BoW reference-KF fallback, wide rescue, reloc)
+            # takes this frame
+            self.events.append("async:rescue")
+            self._track(rec["frame"], rec["timestamp"])
+            self.trajectory.append(self.Tcw.copy())
+            self._append_frame_ref()
+            return
+
+        assign = lm.resolve(out[21: 21 + N])
+        assign = np.where(
+            (assign >= 0) & lm.alive[np.maximum(assign, 0)], assign, -1)
+        p_visible = unpack_bool_np(out[21 + N: 21 + N + P // 32], P)
+        vis_ids = rec["p_ids"][p_visible[:P]]
+        vis_ids = vis_ids[vis_ids >= 0]
+        lm.visible[vis_ids] += 1
+        found_ids = np.unique(assign[assign >= 0])
+        lm.found[found_ids] += 1
+        lm.visible[found_ids] += 1
+
+        tracked_close, non_tracked_close = int(stats[3]), int(stats[4])
+        self.state = "OK" if n_in_local >= 20 else "MARGINAL"
+        self.Tcw = Tcw_i
+        # keyframe mapping work is deferred past the next dispatch (the
+        # chip tracks while the host runs it)
+        self._defer_maintenance = True
+        try:
+            self._finish_track(
+                rec["frame"], assign, n_matches, n_in_local,
+                tracked_close, non_tracked_close, rec["n_local"],
+                rec["timestamp"],
+            )
+        finally:
+            self._defer_maintenance = False
+        self.trajectory.append(self.Tcw.copy())
+        self._append_frame_ref()
+
+    def _append_frame_ref(self):
+        ref = self.map.keyframes.n - 1
+        if ref >= 0:
+            Tcr = self.Tcw @ np.linalg.inv(self.map.keyframes.Tcw[ref])
+            self.frame_refs.append((ref, Tcr.astype(np.float32)))
+        else:
+            self.frame_refs.append((-1, self.Tcw.copy()))
 
     def track_stereo_window(self, lefts, rights, timestamps) -> np.ndarray:
         """Track a window of W frames with ONE device dispatch

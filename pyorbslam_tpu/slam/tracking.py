@@ -488,6 +488,40 @@ def fused_track_window(
     return packed, frames, carry
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fused_track_chain_step(
+    left: jnp.ndarray, right: jnp.ndarray,
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,   # landmark mirror
+    frame_prev: StereoFrame,   # previous frame's features (device handle)
+    q_lm: jnp.ndarray,         # (N,) landmark id per prev-frame feature
+    Tcw_pred: jnp.ndarray,     # (4, 4) velocity-model prediction
+    Tlw: jnp.ndarray,          # (4, 4) prev frame pose
+    p_ids: jnp.ndarray,        # (P,) local-map ids (-1 pad)
+    cfg: SlamConfig,
+):
+    """One frame of the pipelined per-frame deployment schedule: the
+    sync path's :func:`fused_track_step` with the previous frame's
+    features kept ON DEVICE (no re-extraction, no re-upload) and the
+    result row bit-packing its visibility mask — its readback is started
+    asynchronously at dispatch and consumed one call later, which is
+    what lets upload(N+1), compute(N) and readback(N-1) overlap through
+    the device tunnel.  The reference's never-block tracking thread
+    (Tracking.py:95-116) as a depth-2 software pipeline.
+
+    Returns (packed row  [stats 5 | Tcw 16 | assign N | p_visible P/32]
+    and the built frame).  The row layout matches
+    :func:`fused_track_window`'s."""
+    frame = build_stereo_frame(left, right, cfg)
+    packed, _, assign = _fused_track_core(
+        frame, m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,
+        q_lm, frame_prev, p_ids, Tcw_pred, Tlw, cfg,
+    )
+    n_core = 21 + assign.shape[0]
+    row = jnp.concatenate([
+        packed[:n_core], _bitpack_bool(packed[n_core:] != 0)])
+    return row, frame
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "th_base", "voc_k", "voc_L", "voc_levels_up"))

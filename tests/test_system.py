@@ -116,6 +116,41 @@ class TestSystem:
         assert err < 0.5, f"pose error after fallback {err:.3f} m"
 
 
+class TestAsyncSchedule:
+    """The pipelined per-frame deployment schedule
+    (System.track_stereo_async): dispatch N, commit N-1, deferred
+    keyframe maintenance — must match the synchronous path's accuracy
+    (the reference's async LocalMapping lag, System.py:58-64)."""
+
+    def test_async_matches_sync_accuracy(self, data_cache_dir):
+        seq = generate_sequence(
+            n_frames=30, width=512, height=160, trajectory="straight",
+            speed=0.8, seed=3, cache_dir=data_cache_dir,
+        )
+
+        def run(async_mode):
+            sysm = System(make_cfg(seq))
+            for i in range(30):
+                if async_mode:
+                    sysm.track_stereo_async(
+                        seq.left[i], seq.right[i], seq.timestamps[i])
+                else:
+                    sysm.track_stereo(
+                        seq.left[i], seq.right[i], seq.timestamps[i])
+            if async_mode:
+                sysm.flush_async()
+            est = np.linalg.inv(sysm.corrected_trajectory())
+            return sysm, ate_rmse(est, seq.poses_wc[: len(est)])
+
+        sys_sync, ate_sync = run(False)
+        sys_async, ate_async = run(True)
+        assert len(sys_async.trajectory) == 30
+        # the one-frame maintenance lag costs at most a small ATE delta
+        assert ate_async < max(2.0 * ate_sync, 0.15), (ate_async, ate_sync)
+        # no rescue events on a clean run: the pipeline holds tracking
+        assert not [e for e in sys_async.events if "rescue" in e]
+
+
 class TestWindowedTracking:
     def test_window_matches_per_frame_quality(self, data_cache_dir):
         """track_stereo_window (one dispatch per W frames, map frozen
