@@ -155,6 +155,61 @@ def fuse_match_batch(
     )(f_xy, f_octave, f_angle, f_desc, f_valid, f_u_right, Tcw)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "scale_factor"))
+def maintenance_ring_step(
+    m_pos, m_desc, m_normal, m_dmin, m_dmax, m_alive,   # landmark mirror
+    ring,                       # DeviceKFRing.arrays
+    slot1, nb_slots, free1, nb_free, T1, nb_T,          # triangulation
+    fuse_ids, tgt_slots, tgt_Tcw,                       # fuse: kf pts -> targets
+    rev_ids,                                            # fuse: nb pts -> kf
+    cam5, baseline, scale_factors, level_sigma2,
+    cfg: SlamConfig, scale_factor: float = 1.2,
+) -> jnp.ndarray:
+    """The whole per-keyframe mapping pass as ONE device program and ONE
+    packed read: epipolar triangulation over the ring neighbors
+    (LocalMapping.create_new_map_points, LocalMapping.py:152-308), the
+    current KF's landmarks fused into first/second-ring targets, and the
+    neighbors' landmarks fused into the current KF
+    (LocalMapping.search_in_neighbors, LocalMapping.py:333-383).  The
+    three stages are data-independent given the dispatch-time map state,
+    so XLA schedules them as one fused program; the host pays a single
+    round trip instead of three.  Layout:
+      [tri B*6N | fuse T*cap | rev cap2]  (int32)."""
+    xyA, ocA, deA, urA, dpA, vaA = ring
+    tri = tri_ops.triangulate_batch(
+        xyA[slot1], ocA[slot1], deA[slot1], urA[slot1], dpA[slot1], free1,
+        xyA[nb_slots], ocA[nb_slots], deA[nb_slots], urA[nb_slots],
+        dpA[nb_slots], nb_free, nb_T,
+        T1, cam5, baseline, scale_factors, level_sigma2, scale_factor)
+    tri_packed = jnp.concatenate([
+        tri.idx1, tri.idx2, tri.valid.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(tri.pos_w, jnp.int32).reshape(
+            tri.pos_w.shape[0], -1),
+    ], axis=1)
+
+    safe = jnp.maximum(fuse_ids, 0)
+    p_active = (fuse_ids >= 0) & m_alive[safe]
+    fuse = jax.vmap(
+        lambda slot, T: _fuse_match_one(
+            m_pos[safe], m_desc[safe], m_normal[safe],
+            m_dmin[safe], m_dmax[safe], p_active,
+            xyA[slot], ocA[slot], None, deA[slot], vaA[slot], urA[slot],
+            T, cfg, 3.0)
+    )(tgt_slots, tgt_Tcw)
+
+    safe2 = jnp.maximum(rev_ids, 0)
+    rev_active = (rev_ids >= 0) & m_alive[safe2]
+    rev = _fuse_match_one(
+        m_pos[safe2], m_desc[safe2], m_normal[safe2],
+        m_dmin[safe2], m_dmax[safe2], rev_active,
+        xyA[slot1], ocA[slot1], None, deA[slot1], vaA[slot1], urA[slot1],
+        T1, cfg, 3.0)
+
+    return jnp.concatenate(
+        [tri_packed.ravel(), fuse.ravel(), rev])
+
+
 @dataclasses.dataclass
 class LocalMapper:
     cfg: SlamConfig
@@ -164,6 +219,171 @@ class LocalMapper:
     # kernels gather features on device instead of re-uploading them
     ring: Optional[object] = None
     mirror_fn: Optional[object] = None   # callable(force=True) -> mirror
+
+    # ---------------- fused per-keyframe maintenance ----------------
+
+    @staticmethod
+    def _bucket(n):
+        for b in (1024, 2048, 4096, 8192):
+            if n <= b:
+                return b
+        return 16384
+
+    def _tri_prep(self, kf: int):
+        """Neighbor selection for triangulation (baseline > b, enough
+        free features) — the host half of create_new_points."""
+        m = self.map
+        ks = m.keyframes
+        cam = self.cfg.camera
+        Ow1 = -ks.Tcw[kf, :3, :3].T @ ks.Tcw[kf, :3, 3]
+        neighbors = []
+        for nb in m.covisible_neighbors(kf, 10):
+            Ow2 = -ks.Tcw[nb, :3, :3].T @ ks.Tcw[nb, :3, 3]
+            if np.linalg.norm(Ow2 - Ow1) < cam.baseline:
+                continue
+            if (ks.kp_valid[nb] & (ks.obs_lm[nb] < 0)).sum() >= 10:
+                neighbors.append(nb)
+        free1 = ks.kp_valid[kf] & (ks.obs_lm[kf] < 0)
+        if not neighbors or free1.sum() < 10:
+            return None
+        return neighbors[:4], free1, Ow1
+
+    def _tri_apply(self, kf: int, neighbors, batch, Ow1) -> int:
+        """Register surviving triangulations (the host half of
+        create_new_points after the device read)."""
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+        batch_i1, batch_i2, batch_valid, batch_pos = (
+            tri_ops.unpack_tri_batch_np(batch))
+        claimed = np.zeros(ks.n_features, bool)
+        n_new = 0
+        for bi, nb in enumerate(neighbors):
+            valid = batch_valid[bi] & ~claimed[np.maximum(batch_i1[bi], 0)]
+            if not valid.any():
+                continue
+            i1 = batch_i1[bi][valid]
+            i2 = batch_i2[bi][valid]
+            pos = batch_pos[bi][valid]
+            claimed[i1] = True
+            po = pos - Ow1
+            dist = np.linalg.norm(po, axis=1)
+            keep = dist > 1e-6
+            i1, i2, pos, po, dist = (
+                i1[keep], i2[keep], pos[keep], po[keep], dist[keep])
+            if len(i1) == 0:
+                continue
+            ids = lm.add(
+                pos, ks.kp_desc[kf, i1], po / dist[:, None], dist,
+                ks.kp_octave[kf, i1], self.cfg.orb.scale_factor,
+                self.cfg.orb.n_levels, ref_kf=kf,
+            )
+            m.core.add_observations(ids, kf, i1)
+            m.core.add_observations(ids, nb, i2)
+            n_new += len(ids)
+        return n_new
+
+    def maintain(self, kf: int) -> dict:
+        """The whole LocalMapping pass for one keyframe in ONE device
+        dispatch + ONE packed read (:func:`maintenance_ring_step`):
+        triangulate over ring neighbors, fuse the KF's landmarks into its
+        covisible targets, fuse the targets' landmarks back into the KF.
+        Falls back to the separate-step path when the ring has rotated a
+        participant out.  Note one deliberate ordering difference from
+        the reference (LocalMapping.run:91-99): points triangulated by
+        THIS pass join the fuse candidate set at the NEXT keyframe, not
+        this one — the fuse candidates were gathered at dispatch."""
+        m = self.map
+        ks = m.keyframes
+        lm = m.landmarks
+
+        tri = self._tri_prep(kf)
+        ring1 = m.covisible_neighbors(kf, 5)
+        targets = list(dict.fromkeys(
+            ring1 + [k2 for k in ring1 for k2 in m.covisible_neighbors(k, 2)]))
+        targets = [t for t in targets if t != kf and ks.alive[t]]
+        targets = targets[: self.FUSE_TARGETS]
+        cur_pts = lm.resolve(ks.obs_lm[kf])
+        cur_pts = np.unique(cur_pts[cur_pts >= 0])
+        cur_pts = cur_pts[lm.alive[cur_pts]]
+
+        participants = [kf] + (tri[0] if tri else []) + targets
+        slots = (self.ring.slots_for(participants)
+                 if self.ring is not None and self.mirror_fn is not None
+                 else None)
+        if slots is None or (not targets and tri is None):
+            n_new = self.create_new_points(kf)
+            n_fused = self.fuse_neighbors(kf)
+            return dict(new=n_new, fused=n_fused, fallback=True)
+        slot1 = slots[0]
+        B = 4
+        if tri:
+            neighbors, free1, Ow1 = tri
+            nb_pad = (neighbors + [neighbors[0]] * B)[:B]
+            nb_slots = np.asarray(
+                [self.ring.slot_of[n] for n in nb_pad], np.int32)
+            nb_free = ks.kp_valid[nb_pad] & (ks.obs_lm[nb_pad] < 0)
+            nb_T = ks.Tcw[np.asarray(nb_pad)]
+        else:
+            neighbors, free1 = [], np.zeros(ks.n_features, bool)
+            Ow1 = None
+            nb_slots = np.full(B, slot1, np.int32)
+            nb_free = np.zeros((B, ks.n_features), bool)
+            nb_T = np.broadcast_to(ks.Tcw[kf], (B, 4, 4)).copy()
+
+        T = self.FUSE_TARGETS
+        tgt_pad = (targets + [targets[0] if targets else kf] * T)[:T]
+        tgt_slots = np.asarray(
+            [self.ring.slot_of[t] for t in tgt_pad], np.int32)
+        tgt_T = ks.Tcw[np.asarray(tgt_pad)]
+        cap = self._bucket(len(cur_pts)) if len(cur_pts) else 1024
+        fuse_ids = np.full(cap, -1, np.int32)
+        n_fwd = min(len(cur_pts), cap) if targets else 0
+        fuse_ids[: n_fwd] = cur_pts[:n_fwd]
+
+        ids = lm.resolve(ks.obs_lm[np.asarray(tgt_pad)].ravel())
+        ids = ids[ids >= 0]
+        ids = np.unique(ids[lm.alive[ids]])
+        nb_pts = ids[~np.isin(ids, cur_pts, assume_unique=False)]
+        nb_pts = nb_pts[: self.cfg.tracking.max_local_points]
+        cap2 = self._bucket(len(nb_pts)) if len(nb_pts) else 1024
+        rev_ids = np.full(cap2, -1, np.int32)
+        rev_ids[: len(nb_pts)] = nb_pts
+
+        cam = self.cfg.camera
+        cam5 = jnp.asarray(
+            [cam.fx, cam.fy, cam.cx, cam.cy, cam.bf], jnp.float32)
+        mirror = self.mirror_fn()
+        packed = np.asarray(maintenance_ring_step(
+            *mirror, self.ring.arrays,
+            jnp.int32(slot1), jnp.asarray(nb_slots), jnp.asarray(free1),
+            jnp.asarray(nb_free), jnp.asarray(ks.Tcw[kf]), jnp.asarray(nb_T),
+            jnp.asarray(fuse_ids), jnp.asarray(tgt_slots),
+            jnp.asarray(tgt_T),
+            jnp.asarray(rev_ids),
+            cam5, jnp.float32(cam.baseline),
+            jnp.asarray(self.cfg.orb.scale_factors, jnp.float32),
+            jnp.asarray(self.cfg.orb.level_sigma2, jnp.float32),
+            self.cfg, scale_factor=self.cfg.orb.scale_factor,
+        ))  # ONE host read for the whole maintenance pass
+        nf = ks.n_features
+        tri_flat = packed[: B * 6 * nf].reshape(B, 6 * nf)
+        fuse_m = packed[B * 6 * nf: B * 6 * nf + T * cap].reshape(T, cap)
+        rev_m = packed[B * 6 * nf + T * cap:]
+
+        n_new = self._tri_apply(kf, neighbors, tri_flat, Ow1) \
+            if neighbors else 0
+        n_fused = 0
+        for ti, target_kf in enumerate(targets):
+            n_fused += self._apply_fuse_matches(target_kf, fuse_ids,
+                                                fuse_m[ti])
+        if len(nb_pts):
+            n_fused += self._apply_fuse_matches(kf, rev_ids, rev_m)
+        if n_new or n_fused:
+            m.update_connections(kf)
+        if n_fused and len(cur_pts):
+            m.update_landmark_geometry(cur_pts)
+        return dict(new=n_new, fused=n_fused, fallback=False)
 
     # ---------------- triangulation ----------------
 

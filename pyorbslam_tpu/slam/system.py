@@ -1211,10 +1211,10 @@ class System:
         were already tracked: pose refinements fold into the live pose
         as a rigid delta instead of being adopted directly."""
         if self.local_mapper is not None:
-            with self._t("kf.triangulate"):
-                self.local_mapper.create_new_points(kf)
-            with self._t("kf.fuse"):
-                self.local_mapper.fuse_neighbors(kf)
+            # triangulation + both fuse directions in ONE dispatch + ONE
+            # packed read (LocalMapper.maintain)
+            with self._t("kf.maintain"):
+                self.local_mapper.maintain(kf)
 
         if kf % self.ba_every_n_kf == 0:
             pre = self.map.keyframes.Tcw[kf].copy()
