@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from collections import deque
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -81,7 +82,9 @@ class LoopCloser:
         self.prev_groups: List[Tuple[Set[int], int]] = []  # (group, count)
         self.last_loop_kf: int = -10 ** 9
         self.n_loops_closed: int = 0
-        self.events: List[tuple] = []   # sim3-ladder diagnostics
+        # sim3-ladder diagnostics; bounded so multi-thousand-KF runs
+        # don't grow host memory without limit
+        self.events: deque = deque(maxlen=4096)
 
     # ------------------------------ detection ------------------------------
 
@@ -595,8 +598,12 @@ class LoopCloser:
         remaining = getattr(self, "_gba_remaining", 0)
         if remaining <= 0:
             return False
+        info = self.map.global_ba(iters=self.GBA_SLICE)
+        if not info.get("ran"):
+            # a no-op slice (map momentarily too small) must not consume
+            # the budget, or the post-loop polish could silently vanish
+            return False
         self._gba_remaining = remaining - self.GBA_SLICE
-        self.map.global_ba(iters=self.GBA_SLICE)
         return True
 
     def _search_and_fuse(self, cur_group: List[int], loop_kf: int):

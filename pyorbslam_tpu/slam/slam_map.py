@@ -328,7 +328,6 @@ class SlamMap:
         O = _bucket(n_obs, obs_buckets)
         n_obs = min(n_obs, O)
         oc, op, okf, oft = oc[:n_obs], op[:n_obs], okf[:n_obs], oft[:n_obs]
-
         inv_sigma2 = np.asarray(self.cfg.orb.inv_level_sigma2)
 
         cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
@@ -336,13 +335,23 @@ class SlamMap:
         cam_fixed = np.ones(C, bool)
         for i, k in enumerate(cams):
             cam_fixed[i] = (i >= n_free) or (k == 0)
+
+        # sort by point id (the BA grid layout groups observations per
+        # point); within a point, FREE cameras first — when a
+        # heavily-observed point exceeds the grid width K, the slots
+        # dropped are fixed-camera ones, which only constrain the
+        # (already over-determined) point, not the poses being solved
+        order = np.lexsort((cam_fixed[oc], op))
+        oc, op, okf, oft = oc[order], op[order], okf[order], oft[order]
         pnt_pos = np.zeros((P, 3), np.float32)
         pnt_pos[: len(pnt_ids)] = self.landmarks.pos[pnt_ids]
         pnt_active = np.zeros(P, bool)
         pnt_active[: len(pnt_ids)] = True
 
         ocp = np.zeros(O, np.int32)
-        opp = np.zeros(O, np.int32)
+        # padding rows carry the LAST point id so the sorted order holds
+        # through the pad tail (they are inert: obs_active False)
+        opp = np.full(O, P - 1, np.int32)
         ouvr = np.zeros((O, 3), np.float32)
         oisig = np.zeros(O, np.float32)
         oact = np.zeros(O, bool)
@@ -392,7 +401,7 @@ class SlamMap:
             new_Tcw = np.asarray(d_cam)
             new_pos = np.asarray(d_pnt)
             inlier = None
-        else:
+        elif engine == "cg":
             prob = ba.BAProblem(
                 cam_Tcw=jnp.asarray(cam_Tcw),
                 cam_fixed=jnp.asarray(cam_fixed),
@@ -406,13 +415,10 @@ class SlamMap:
                 cam=cam5,
             )
             with self._t("ba.solve"):
-                if engine == "cg":
-                    from pyorbslam_tpu.optim import ba_cg
+                from pyorbslam_tpu.optim import ba_cg
 
-                    res = ba_cg.bundle_adjust_cg(prob, iters1=iters1,
-                                                 iters2=iters2)
-                else:
-                    res = ba.bundle_adjust(prob, iters1=iters1, iters2=iters2)
+                res = ba_cg.bundle_adjust_cg(prob, iters1=iters1,
+                                             iters2=iters2)
                 out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
                                                  res.obs_inlier))
             new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
@@ -420,6 +426,37 @@ class SlamMap:
             inlier = np.unpackbits(
                 out[16 * C + 3 * P:].view(np.uint8),
                 bitorder="little")[:O].astype(bool)
+        else:
+            # dense engine: the (P, K) observation grid — scatter-free
+            # Schur assembly (optim/ba.py:BAGridProblem)
+            g_cam, g_uvr, g_isig, g_act, slot, kept, n_drop = \
+                ba.grid_from_obs(oc, op, ouvr[:n_obs], oisig[:n_obs], P)
+            if n_drop:
+                self.times["ba.grid_dropped_obs"] += n_drop
+            gprob = ba.BAGridProblem(
+                cam_Tcw=jnp.asarray(cam_Tcw),
+                cam_fixed=jnp.asarray(cam_fixed),
+                pnt_pos=jnp.asarray(pnt_pos),
+                pnt_active=jnp.asarray(pnt_active),
+                g_cam=jnp.asarray(g_cam),
+                g_uvr=jnp.asarray(g_uvr),
+                g_isig=jnp.asarray(g_isig),
+                g_act=jnp.asarray(g_act),
+                cam=cam5,
+            )
+            with self._t("ba.solve"):
+                res = ba.bundle_adjust_grid(gprob, iters1=iters1,
+                                            iters2=iters2)
+                out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
+                                                 res.g_inlier.reshape(-1)))
+            new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
+            new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
+            g_inl = np.unpackbits(
+                out[16 * C + 3 * P:].view(np.uint8),
+                bitorder="little")[: g_act.size].astype(bool).reshape(
+                    g_act.shape)
+            inlier = np.ones(O, bool)
+            inlier[:n_obs][kept] = g_inl[op[kept], slot[kept]]
 
         for i in range(n_free):
             if not cam_fixed[i]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Optional
 
 import jax
@@ -181,7 +181,9 @@ class System:
         self._chain_healthy = True   # raw device chain tracks host chain
         self._defer_maintenance = False  # windowed commit in progress
         self._maint_queue: list = []     # (kf, bow) awaiting mapping work
-        self.events: list = []       # schedule diagnostics (profiling)
+        # schedule diagnostics (profiling); bounded — KITTI-00-scale
+        # runs must not grow host memory per event
+        self.events = deque(maxlen=4096)
         self.times = defaultdict(float)   # per-stage wall clock
         self.time_counts = defaultdict(int)
 
@@ -586,9 +588,13 @@ class System:
                 (n_matches_i, n_inliers, Tcw_i, assign, p_ids_i,
                  p_visible, tracked_close, non_tracked_close) = re
                 # the re-tracked pose leaves the raw scan chain: fold the
-                # delta into the base correction so later rows follow
-                base_raw = raw.copy()
-                base_corr = Tcw_i.copy()
+                # delta into the base correction so later rows follow.
+                # A non-finite raw (diverged scan pose opt) must never
+                # become the base — keep the previous finite base; later
+                # healthy rows then rebase off it instead of off NaNs.
+                if np.isfinite(raw).all():
+                    base_raw = raw.copy()
+                    base_corr = Tcw_i.copy()
                 return (n_matches_i, n_inliers, Tcw_i, assign, p_ids_i,
                         p_visible, tracked_close, non_tracked_close,
                         int((p_ids_i >= 0).sum()))
@@ -616,8 +622,17 @@ class System:
                     (assign >= 0) & lm.alive[np.maximum(assign, 0)],
                     assign, -1)
                 p_visible = unpack_bool_np(row[21 + N: 21 + N + P // 32], P)
-                Tcw_i = raw if base_raw is None \
-                    else raw @ np.linalg.inv(base_raw) @ base_corr
+                if base_raw is None:
+                    Tcw_i = raw
+                else:
+                    # a pathological (singular) base must degrade to the
+                    # per-frame rescue, not abort the whole commit
+                    try:
+                        Tcw_i = raw @ np.linalg.inv(base_raw) @ base_corr
+                    except np.linalg.LinAlgError:
+                        aborted = i
+                        self.events.append("abort:singular_base")
+                        break
                 Tcw_i = np.ascontiguousarray(Tcw_i, dtype=np.float32)
                 tracked_close = int(row[3])
                 non_tracked_close = int(row[4])
