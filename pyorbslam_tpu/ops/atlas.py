@@ -285,10 +285,9 @@ def extract_features_atlas(
     n_half = sum(int(budgets[t.level]) for t in layout.tiles if t.image == 0)
 
     # ---- orientation + descriptors on the canvas, one call each ----
-    m10_map, m01_map = desc_ops.moment_maps(canvas)
     blur = jnp.round(pyr_ops.gaussian_blur(canvas))  # CV_8U working image
 
-    ang = desc_ops.ic_angle_from_maps(m10_map, m01_map, cxy, border=0)
+    ang = desc_ops.ic_angles_at(canvas, cxy)
     if use_pallas:
         from pyorbslam_tpu.ops.pallas_kernels import brief_descriptors_canvas
 

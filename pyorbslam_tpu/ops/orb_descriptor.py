@@ -160,6 +160,44 @@ def moment_maps(padded_level: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return m10, m01
 
 
+def ic_angles_at(padded: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """IC orientation evaluated at keypoints only: row cumsums + four
+    gathers per (keypoint, patch row) — ~0.5M gathered values instead of
+    whole-canvas moment maps (:func:`moment_maps` costs ~8 ms of HBM
+    traffic per frame at atlas-canvas scale; the per-pixel maps are
+    then read at only a few thousand keypoints).  Moments are the exact
+    circular-patch sums of the reference's IC_Angle
+    (ORBextractor.cpp:93-124): identical umax row widths, identical
+    centered column weights."""
+    hp = HALF_PATCH_SIZE
+    umax = umax_table()
+    hpd, wpd = padded.shape
+    cols = jnp.arange(wpd, dtype=jnp.float32)[None, :]
+    cumI = jnp.concatenate(
+        [jnp.zeros((hpd, 1), padded.dtype), jnp.cumsum(padded, axis=1)],
+        axis=1)
+    cumJ = jnp.concatenate(
+        [jnp.zeros((hpd, 1), padded.dtype),
+         jnp.cumsum(cols * padded, axis=1)], axis=1)
+    W1 = wpd + 1
+    x = xy[:, 0].astype(jnp.int32)
+    y = xy[:, 1].astype(jnp.int32)
+    dys = jnp.arange(-hp, hp + 1, dtype=jnp.int32)            # (31,)
+    ds = jnp.asarray(umax[np.abs(np.arange(-hp, hp + 1))], jnp.int32)
+    rows = (y[:, None] + dys[None, :]) * W1                   # (N, 31)
+    hi = rows + x[:, None] + ds[None, :] + 1
+    lo = rows + x[:, None] - ds[None, :]
+    cI = cumI.reshape(-1)
+    cJ = cumJ.reshape(-1)
+    winI = jnp.take(cI, hi) - jnp.take(cI, lo)
+    winJ = jnp.take(cJ, hi) - jnp.take(cJ, lo)
+    m10 = jnp.sum(winJ, axis=1) - x.astype(jnp.float32) * jnp.sum(
+        winI, axis=1)
+    m01 = jnp.sum(winI * dys[None, :].astype(jnp.float32), axis=1)
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
 def ic_angle_from_maps(
     m10_map: jnp.ndarray, m01_map: jnp.ndarray, xy: jnp.ndarray,
     border: int = BORDER,

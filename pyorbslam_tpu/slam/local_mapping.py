@@ -285,14 +285,28 @@ class LocalMapper:
 
     def maintain(self, kf: int) -> dict:
         """The whole LocalMapping pass for one keyframe in ONE device
-        dispatch + ONE packed read (:func:`maintenance_ring_step`):
-        triangulate over ring neighbors, fuse the KF's landmarks into its
-        covisible targets, fuse the targets' landmarks back into the KF.
-        Falls back to the separate-step path when the ring has rotated a
-        participant out.  Note one deliberate ordering difference from
-        the reference (LocalMapping.run:91-99): points triangulated by
-        THIS pass join the fuse candidate set at the NEXT keyframe, not
-        this one — the fuse candidates were gathered at dispatch."""
+        dispatch + ONE packed read: dispatch + apply back-to-back (the
+        synchronous schedule's shape; the pipelined schedule splits the
+        two around the next frame's tracking dispatch so the read
+        overlaps the chip)."""
+        pend = self.maintain_dispatch(kf)
+        if pend is None:
+            n_new = self.create_new_points(kf)
+            n_fused = self.fuse_neighbors(kf)
+            return dict(new=n_new, fused=n_fused, fallback=True)
+        return self.maintain_apply(pend)
+
+    def maintain_dispatch(self, kf: int):
+        """Host prep + the ONE maintenance dispatch
+        (:func:`maintenance_ring_step`): triangulate over ring neighbors,
+        fuse the KF's landmarks into its covisible targets, fuse the
+        targets' landmarks back into the KF.  Returns an opaque pending
+        record for :meth:`maintain_apply`, or None when the ring rotated
+        a participant out (caller falls back to the separate-step path).
+        Note one deliberate ordering difference from the reference
+        (LocalMapping.run:91-99): points triangulated by this pass join
+        the fuse candidate set at the NEXT keyframe, not this one — the
+        fuse candidates are gathered at dispatch."""
         m = self.map
         ks = m.keyframes
         lm = m.landmarks
@@ -312,9 +326,7 @@ class LocalMapper:
                  if self.ring is not None and self.mirror_fn is not None
                  else None)
         if slots is None or (not targets and tri is None):
-            n_new = self.create_new_points(kf)
-            n_fused = self.fuse_neighbors(kf)
-            return dict(new=n_new, fused=n_fused, fallback=True)
+            return None
         slot1 = slots[0]
         B = 4
         if tri:
@@ -354,7 +366,7 @@ class LocalMapper:
         cam5 = jnp.asarray(
             [cam.fx, cam.fy, cam.cx, cam.cy, cam.bf], jnp.float32)
         mirror = self.mirror_fn()
-        packed = np.asarray(maintenance_ring_step(
+        handle = maintenance_ring_step(
             *mirror, self.ring.arrays,
             jnp.int32(slot1), jnp.asarray(nb_slots), jnp.asarray(free1),
             jnp.asarray(nb_free), jnp.asarray(ks.Tcw[kf]), jnp.asarray(nb_T),
@@ -365,24 +377,39 @@ class LocalMapper:
             jnp.asarray(self.cfg.orb.scale_factors, jnp.float32),
             jnp.asarray(self.cfg.orb.level_sigma2, jnp.float32),
             self.cfg, scale_factor=self.cfg.orb.scale_factor,
-        ))  # ONE host read for the whole maintenance pass
-        nf = ks.n_features
+        )
+        if hasattr(handle, "copy_to_host_async"):
+            handle.copy_to_host_async()
+        return dict(kf=kf, handle=handle, neighbors=neighbors, Ow1=Ow1,
+                    targets=targets, fuse_ids=fuse_ids, rev_ids=rev_ids,
+                    nb_pts=nb_pts, cur_pts=cur_pts, B=B, T=T, cap=cap)
+
+    def maintain_apply(self, pend: dict) -> dict:
+        """Consume one maintenance dispatch: ONE host read, then host
+        registration (triangulations, fuse bindings, connection /
+        geometry refresh)."""
+        m = self.map
+        kf = pend["kf"]
+        B, T, cap = pend["B"], pend["T"], pend["cap"]
+        neighbors, targets = pend["neighbors"], pend["targets"]
+        packed = np.asarray(pend["handle"])
+        nf = m.keyframes.n_features
         tri_flat = packed[: B * 6 * nf].reshape(B, 6 * nf)
         fuse_m = packed[B * 6 * nf: B * 6 * nf + T * cap].reshape(T, cap)
         rev_m = packed[B * 6 * nf + T * cap:]
 
-        n_new = self._tri_apply(kf, neighbors, tri_flat, Ow1) \
+        n_new = self._tri_apply(kf, neighbors, tri_flat, pend["Ow1"]) \
             if neighbors else 0
         n_fused = 0
         for ti, target_kf in enumerate(targets):
-            n_fused += self._apply_fuse_matches(target_kf, fuse_ids,
+            n_fused += self._apply_fuse_matches(target_kf, pend["fuse_ids"],
                                                 fuse_m[ti])
-        if len(nb_pts):
-            n_fused += self._apply_fuse_matches(kf, rev_ids, rev_m)
+        if len(pend["nb_pts"]):
+            n_fused += self._apply_fuse_matches(kf, pend["rev_ids"], rev_m)
         if n_new or n_fused:
             m.update_connections(kf)
-        if n_fused and len(cur_pts):
-            m.update_landmark_geometry(cur_pts)
+        if n_fused and len(pend["cur_pts"]):
+            m.update_landmark_geometry(pend["cur_pts"])
         return dict(new=n_new, fused=n_fused, fallback=False)
 
     # ---------------- triangulation ----------------

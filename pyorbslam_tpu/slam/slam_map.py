@@ -271,9 +271,13 @@ class SlamMap:
 
     # ------------- local bundle adjustment -------------
 
-    def local_ba(self, kf: int) -> dict:
+    def local_ba(self, kf: int, split: bool = False) -> dict:
         """Assemble + run the Schur BA over the covisible neighborhood of
-        ``kf``; write back poses/points and erase outlier observations."""
+        ``kf``; write back poses/points and erase outlier observations.
+        With ``split=True`` the solve is only DISPATCHED: the result dict
+        carries ``pending`` for a later :meth:`local_ba_apply` — the
+        pipelined schedule reads the solution one frame later, under the
+        chip's next tracking step."""
         bacfg = self.cfg.ba
         cams, n_free, pnt_ids = self.core.local_ba_gather(
             kf, bacfg.max_local_kfs, bacfg.max_local_points,
@@ -281,7 +285,7 @@ class SlamMap:
         return self._run_ba(
             cams=cams, n_free=n_free, pnt_ids=pnt_ids,
             iters1=bacfg.local_ba_iters1, iters2=bacfg.local_ba_iters2,
-            erase_outliers=True,
+            erase_outliers=True, split=split,
         )
 
     @contextlib.contextmanager
@@ -294,7 +298,7 @@ class SlamMap:
 
     def _run_ba(self, cams, n_free: int, pnt_ids,
                 iters1: int, iters2: int, erase_outliers: bool,
-                engine: str = "dense") -> dict:
+                engine: str = "dense", split: bool = False) -> dict:
         """Assemble bucketed fixed-shape arrays (native observation
         gather), dispatch the Schur BA (dense reduced system, or
         implicit-Schur CG for global scale), write back, optionally erase
@@ -447,17 +451,51 @@ class SlamMap:
             with self._t("ba.solve"):
                 res = ba.bundle_adjust_grid(gprob, iters1=iters1,
                                             iters2=iters2)
-                out = np.asarray(_pack_ba_result(res.cam_Tcw, res.pnt_pos,
-                                                 res.g_inlier.reshape(-1)))
-            new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
-            new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
-            g_inl = np.unpackbits(
-                out[16 * C + 3 * P:].view(np.uint8),
-                bitorder="little")[: g_act.size].astype(bool).reshape(
-                    g_act.shape)
-            inlier = np.ones(O, bool)
-            inlier[:n_obs][kept] = g_inl[op[kept], slot[kept]]
+                handle = _pack_ba_result(res.cam_Tcw, res.pnt_pos,
+                                         res.g_inlier.reshape(-1))
+                if hasattr(handle, "copy_to_host_async"):
+                    handle.copy_to_host_async()
+            pend = dict(
+                handle=handle, C=C, P=P, O=O, g_shape=g_act.shape,
+                op=op, okf=okf, slot=slot, kept=kept,
+                cams=cams, cam_fixed=cam_fixed, n_free=n_free,
+                pnt_ids=pnt_ids, n_obs=n_obs,
+                erase_outliers=erase_outliers,
+            )
+            if split:
+                return dict(ran=True, pending=pend, n_cams=len(cams),
+                            n_free=n_free, n_points=len(pnt_ids),
+                            n_obs=n_obs)
+            return self.local_ba_apply(pend)
 
+        return self._ba_writeback(
+            cams, cam_fixed, n_free, pnt_ids, new_Tcw, new_pos, inlier,
+            op, okf, n_obs, erase_outliers)
+
+    def local_ba_apply(self, pend: dict) -> dict:
+        """Consume a split dense-BA dispatch: ONE host read, write back
+        poses/points, erase outliers, refresh landmark geometry."""
+        C, P, O = pend["C"], pend["P"], pend["O"]
+        with self._t("ba.read"):
+            out = np.asarray(pend["handle"])
+        new_Tcw = out[: 16 * C].view(np.float32).reshape(C, 4, 4)
+        new_pos = out[16 * C: 16 * C + 3 * P].view(np.float32).reshape(P, 3)
+        g_size = int(np.prod(pend["g_shape"]))
+        g_inl = np.unpackbits(
+            out[16 * C + 3 * P:].view(np.uint8),
+            bitorder="little")[:g_size].astype(bool).reshape(pend["g_shape"])
+        op, slot, kept = pend["op"], pend["slot"], pend["kept"]
+        inlier = np.ones(O, bool)
+        inlier[: pend["n_obs"]][kept] = g_inl[op[kept], slot[kept]]
+        return self._ba_writeback(
+            pend["cams"], pend["cam_fixed"], pend["n_free"],
+            pend["pnt_ids"], new_Tcw, new_pos, inlier,
+            op, pend["okf"], pend["n_obs"], pend["erase_outliers"])
+
+    def _ba_writeback(self, cams, cam_fixed, n_free, pnt_ids,
+                      new_Tcw, new_pos, inlier, op, okf, n_obs,
+                      erase_outliers) -> dict:
+        ks = self.keyframes
         for i in range(n_free):
             if not cam_fixed[i]:
                 ks.Tcw[cams[i]] = new_Tcw[i]

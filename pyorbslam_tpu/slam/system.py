@@ -181,6 +181,7 @@ class System:
         self._chain_healthy = True   # raw device chain tracks host chain
         self._defer_maintenance = False  # windowed commit in progress
         self._maint_queue: list = []     # (kf, bow) awaiting mapping work
+        self._maint_pipe: list = []      # staged in-flight mapping items
         # schedule diagnostics (profiling); bounded — KITTI-00-scale
         # runs must not grow host memory per event
         self.events = deque(maxlen=4096)
@@ -255,7 +256,10 @@ class System:
             self._commit_chain(self._async_q.pop(0))
         if self.state in ("OK", "MARGINAL") and self.map.keyframes.n > 0:
             self._dispatch_chain(left, right, timestamp)
-            self._run_maintenance_queue()   # overlaps the in-flight scan
+            # one device stage per in-flight keyframe: dispatches queue
+            # behind the tracking step; reads consume results dispatched
+            # a frame ago (already copied)
+            self._run_maintenance_queue(blocking=False)
         else:
             # the commit lost tracking: this frame goes through the
             # synchronous rescue machine instead
@@ -1268,12 +1272,93 @@ class System:
                 self.velocity = np.eye(4, dtype=np.float32)
         self._mirror_stale = True
 
-    def _run_maintenance_queue(self):
-        """Drain the deferred per-keyframe mapping work (runs while the
-        next window's scan occupies the chip)."""
-        queue, self._maint_queue = self._maint_queue, []
-        for kf, bow in queue:
-            self._kf_maintenance(kf, bow, deferred=True)
+    def _run_maintenance_queue(self, blocking: bool = True):
+        """Advance the deferred per-keyframe mapping work.
+
+        Each keyframe's mapping pass is a little pipeline —
+        maintain-dispatch -> maintain-apply -> BA-dispatch -> BA-apply ->
+        culling/loop closing — and the pipelined schedule advances every
+        in-flight keyframe ONE device stage per tracked frame
+        (``blocking=False``): a stage's read happens one frame after its
+        dispatch, so it overlaps the chip's next tracking step.  The
+        windowed/flush paths run the pipe to completion
+        (``blocking=True``).  Pose refinements fold into the live pose
+        as rigid deltas (the reference's async LocalMapping lag,
+        LocalMapping.py:43-84)."""
+        for kf, bow in self._maint_queue:
+            self._maint_pipe.append(dict(
+                kf=kf, bow=bow, stage="new", pend=None, ba_pend=None,
+                pre=None))
+        self._maint_queue = []
+        while self._maint_pipe:
+            for it in list(self._maint_pipe):
+                self._advance_maint_item(it)
+                if it["stage"] == "done":
+                    self._maint_pipe.remove(it)
+            if not blocking:
+                break
+
+    def _advance_maint_item(self, it):
+        kf, bow = it["kf"], it["bow"]
+        lmapper = self.local_mapper
+        if it["stage"] == "new":
+            if lmapper is None:
+                it["stage"] = "maint_done"
+                return
+            with self._t("kf.maintain_dispatch"):
+                it["pend"] = lmapper.maintain_dispatch(kf)
+            if it["pend"] is None:
+                # ring rotated a participant out: separate-step fallback
+                with self._t("kf.maintain"):
+                    lmapper.create_new_points(kf)
+                    lmapper.fuse_neighbors(kf)
+                self._mirror_stale = True
+                it["stage"] = "maint_done"
+                return
+            it["stage"] = "maint_dispatched"
+            return
+        if it["stage"] == "maint_dispatched":
+            with self._t("kf.maintain_apply"):
+                lmapper.maintain_apply(it["pend"])
+            self._mirror_stale = True
+            it["stage"] = "maint_done"
+            return
+        if it["stage"] == "maint_done":
+            if kf % self.ba_every_n_kf == 0:
+                it["pre"] = self.map.keyframes.Tcw[kf].copy()
+                with self._t("kf.ba_dispatch"):
+                    r = self.map.local_ba(kf, split=True)
+                if r.get("pending") is not None:
+                    it["ba_pend"] = r["pending"]
+                    it["stage"] = "ba_dispatched"
+                    return
+            it["stage"] = "post_ba"
+            return self._advance_maint_item(it)
+        if it["stage"] == "ba_dispatched":
+            with self._t("kf.ba_apply"):
+                self.map.local_ba_apply(it["ba_pend"])
+            delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(it["pre"])
+            self.Tcw = (delta @ self.Tcw).astype(np.float32)
+            self._mirror_stale = True
+            it["stage"] = "post_ba"
+            return self._advance_maint_item(it)
+        if it["stage"] == "post_ba":
+            if lmapper is not None and kf % 4 == 0:
+                lmapper.cull_keyframes(
+                    kf, on_removed=lambda k: self.kfdb.erase(k))
+            if self.loop_closer is not None:
+                pre = self.map.keyframes.Tcw[kf].copy()
+                with self._t("kf.loop"):
+                    closed = self.loop_closer.on_keyframe(kf, bow)
+                if not closed and self.loop_closer.run_gba_slice():
+                    delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
+                    self.Tcw = (delta @ self.Tcw).astype(np.float32)
+                if closed:
+                    delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
+                    self.Tcw = (delta @ self.Tcw).astype(np.float32)
+                    self.velocity = np.eye(4, dtype=np.float32)
+            self._mirror_stale = True
+            it["stage"] = "done"
 
     # ---------------- reference-keyframe tracking ----------------
 
