@@ -272,17 +272,25 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         assert len(sysm.trajectory) == n, (len(sysm.trajectory), n)
         return sysm
 
-    run()                       # compile/warm pass
-    t0 = time.time()
-    sysm = run()                # timed steady-state pass
-    dt = time.time() - t0
-    n_tracked = n_frames - (n_frames % window if window else 0)
-    fps = n_tracked / dt
-
     from pyorbslam_tpu.utils.metrics import ate_rmse
 
-    est = np.linalg.inv(sysm.corrected_trajectory())
-    ate = float(ate_rmse(est, seq.poses_wc[: len(est)]))
+    run()                       # compile/warm pass
+    n_tracked = n_frames - (n_frames % window if window else 0)
+    # the remote-tunnel device's throughput fluctuates run to run;
+    # report the MEDIAN of three timed steady-state passes so the
+    # recorded number is robust to a slow phase
+    passes = []
+    for _ in range(3):
+        t0 = time.time()
+        sysm = run()
+        dt = time.time() - t0
+        est = np.linalg.inv(sysm.corrected_trajectory())
+        passes.append((n_tracked / dt,
+                       float(ate_rmse(est, seq.poses_wc[: len(est)])),
+                       sysm))
+    passes.sort(key=lambda p: p[0])
+    fps, ate, sysm = passes[1]
+    fps_all = [round(p[0], 2) for p in passes]
 
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(baseline_path):
@@ -309,6 +317,7 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         "n_frames": n_tracked,
         "n_keyframes": int(sysm.map.keyframes.n),
         "ate_rmse_m": round(ate, 4),
+        "fps_passes": fps_all,
         "device": str(jax.devices()[0]),
     }
     if tracking_fps is not None:

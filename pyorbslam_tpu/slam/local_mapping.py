@@ -35,6 +35,9 @@ from pyorbslam_tpu.slam.slam_map import SlamMap
 
 from pyorbslam_tpu.utils.precision import f32_matmuls
 
+TRI_CAP = 512   # triangulation survivors read back per neighbor pair
+TRI_Q = 1024    # free-feature compaction width for the epipolar match
+
 
 @f32_matmuls
 def _fuse_match_one(
@@ -177,15 +180,36 @@ def maintenance_ring_step(
     round trip instead of three.  Layout:
       [tri B*6N | fuse T*cap | rev cap2]  (int32)."""
     xyA, ocA, deA, urA, dpA, vaA = ring
+    # compact both sides to their FREE features first (typically half
+    # the budget): the epipolar Hamming matrix and every mask shrink 4x
+    q1 = jax.lax.top_k(free1.astype(jnp.float32), TRI_Q)[1]    # (Q,)
+    q2 = jax.lax.top_k(nb_free.astype(jnp.float32), TRI_Q)[1]  # (B, Q)
+    x1, o1, d1, u1, z1 = (a[slot1] for a in (xyA, ocA, deA, urA, dpA))
     tri = tri_ops.triangulate_batch(
-        xyA[slot1], ocA[slot1], deA[slot1], urA[slot1], dpA[slot1], free1,
-        xyA[nb_slots], ocA[nb_slots], deA[nb_slots], urA[nb_slots],
-        dpA[nb_slots], nb_free, nb_T,
+        x1[q1], o1[q1], d1[q1], u1[q1], z1[q1], free1[q1],
+        jnp.take_along_axis(xyA[nb_slots], q2[..., None], axis=1),
+        jnp.take_along_axis(ocA[nb_slots], q2, axis=1),
+        jnp.take_along_axis(deA[nb_slots], q2[..., None], axis=1),
+        jnp.take_along_axis(urA[nb_slots], q2, axis=1),
+        jnp.take_along_axis(dpA[nb_slots], q2, axis=1),
+        jnp.take_along_axis(nb_free, q2, axis=1), nb_T,
         T1, cam5, baseline, scale_factors, level_sigma2, scale_factor)
+    # compact survivors to TRI_CAP rows per neighbor before the read:
+    # typically a few hundred candidates triangulate, and the downlink
+    # shares the tunnel with the image uplink.  Indices map back to
+    # frame-feature space through the free-compaction gathers.
+    sel = jax.lax.top_k(tri.valid.astype(jnp.float32), TRI_CAP)[1]
+    g = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
+    idx1_full = jnp.where(tri.idx1 >= 0,
+                          q1[jnp.maximum(tri.idx1, 0)], -1)
+    idx2_full = jnp.where(
+        tri.idx2 >= 0,
+        jnp.take_along_axis(q2, jnp.maximum(tri.idx2, 0), axis=1), -1)
     tri_packed = jnp.concatenate([
-        tri.idx1, tri.idx2, tri.valid.astype(jnp.int32),
-        jax.lax.bitcast_convert_type(tri.pos_w, jnp.int32).reshape(
-            tri.pos_w.shape[0], -1),
+        g(idx1_full), g(idx2_full), g(tri.valid.astype(jnp.int32)),
+        jax.lax.bitcast_convert_type(
+            jnp.take_along_axis(tri.pos_w, sel[..., None], axis=1),
+            jnp.int32).reshape(sel.shape[0], -1),
     ], axis=1)
 
     safe = jnp.maximum(fuse_ids, 0)
@@ -393,10 +417,10 @@ class LocalMapper:
         B, T, cap = pend["B"], pend["T"], pend["cap"]
         neighbors, targets = pend["neighbors"], pend["targets"]
         packed = np.asarray(pend["handle"])
-        nf = m.keyframes.n_features
-        tri_flat = packed[: B * 6 * nf].reshape(B, 6 * nf)
-        fuse_m = packed[B * 6 * nf: B * 6 * nf + T * cap].reshape(T, cap)
-        rev_m = packed[B * 6 * nf + T * cap:]
+        nt = 6 * TRI_CAP
+        tri_flat = packed[: B * nt].reshape(B, nt)
+        fuse_m = packed[B * nt: B * nt + T * cap].reshape(T, cap)
+        rev_m = packed[B * nt + T * cap:]
 
         n_new = self._tri_apply(kf, neighbors, tri_flat, pend["Ow1"]) \
             if neighbors else 0

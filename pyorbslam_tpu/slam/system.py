@@ -883,10 +883,21 @@ class System:
         if self._mirror is None or self._mirror_cap != cap:
             full_upload()
         else:
+            # float fields use a tolerance: local BA jitters thousands of
+            # point positions by fractions of a millimeter every solve,
+            # and re-uploading all of them costs more uplink than the
+            # images themselves.  The shadow holds the last UPLOADED
+            # values, so sub-tolerance drift accumulates against it and
+            # still uploads once it matters.  Tolerances are far below
+            # the matcher's search radius at any depth.
+            tol = dict(pos=2e-3, normal=1e-2, dmin=1e-2, dmax=1e-2)
             changed = np.zeros(cap, bool)
             for f, s in zip(_MIRROR_FIELDS, self._mirror_shadow):
                 h = getattr(lm, f)[:cap]
-                d = h != s
+                if f in tol:
+                    d = np.abs(h - s) > tol[f]
+                else:
+                    d = h != s
                 changed |= d.any(axis=1) if d.ndim == 2 else d
             ids = np.nonzero(changed)[0].astype(np.int32)
             if len(ids) > cap // 4:
