@@ -262,9 +262,19 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
                     seq.left[w0: w0 + window], seq.right[w0: w0 + window],
                     seq.timestamps[w0: w0 + window])
         elif async_mode:
+            # double-buffered sensor upload: frame i+1's images are
+            # enqueued while frame i is processed (a real system DMAs
+            # the next camera frame during processing; the System API
+            # accepts device arrays as-is)
+            import jax.numpy as jnp
+
+            nxt = (jnp.asarray(seq.left[0]), jnp.asarray(seq.right[0]))
             for i in range(n):
-                sysm.track_stereo_async(
-                    seq.left[i], seq.right[i], seq.timestamps[i])
+                cur = nxt
+                if i + 1 < n:
+                    nxt = (jnp.asarray(seq.left[i + 1]),
+                           jnp.asarray(seq.right[i + 1]))
+                sysm.track_stereo_async(cur[0], cur[1], seq.timestamps[i])
             sysm.flush_async()
         else:
             for i in range(n):

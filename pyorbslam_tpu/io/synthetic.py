@@ -53,6 +53,8 @@ class Plane:
     e1: np.ndarray      # in-plane texture axes (3,)
     e2: np.ndarray
     tex_scale: float    # texture pixels per meter
+    ext1: float = np.inf   # half-extent along e1 (meters; inf = infinite)
+    ext2: float = np.inf   # half-extent along e2
 
 
 def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7,
@@ -71,6 +73,44 @@ def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7,
         P([half, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 1, 0], s * 0.67),     # right wall
         P([0, -6.0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1], s * 0.33),      # ceiling
     ]
+
+
+def interior_loop_scene(radius: float, ground_y: float = 1.7,
+                        tex_px_per_m: float = 48.0,
+                        n_pillars: int = 10, pillar_side: float = 2.0,
+                        ring_offsets=(-9.0, 11.0),
+                        seed: int = 0) -> List[Plane]:
+    """A loop-course world whose structure stays INSIDE the stereo depth
+    gate everywhere on the path: textured ground plus two rings of square
+    pillars flanking the circular trajectory (center (0, radius) in
+    x-z).  Unlike :func:`corridor_scene` at large radii — whose walls sit
+    beyond the ~40 m stereo range, leaving odometry depth-poor — every
+    viewpoint here sees close structure, so tracking stays
+    well-conditioned while yaw drift still accumulates over a lap.
+    This is the drift-then-repair world for loop-closure evaluation."""
+    rng = np.random.RandomState(seed + 7)
+    planes = [Plane(np.array([0.0, ground_y, 0.0]),
+                    np.array([0.0, -1.0, 0.0]),
+                    np.array([1.0, 0.0, 0.0]),
+                    np.array([0.0, 0.0, 1.0]), tex_px_per_m)]
+    cx0, cz0 = 0.0, radius
+    half = pillar_side / 2.0
+    for ring_r in (radius + ring_offsets[0], radius + ring_offsets[1]):
+        for k in range(n_pillars):
+            ang = 2 * np.pi * (k + rng.uniform(-0.2, 0.2)) / n_pillars
+            px = cx0 + ring_r * np.sin(ang)
+            pz = cz0 - ring_r * np.cos(ang)
+            s = tex_px_per_m * rng.uniform(0.7, 1.3)
+            for nx, nz in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                n = np.array([nx, 0.0, nz], np.float64)
+                e1 = np.array([-nz, 0.0, nx], np.float64)
+                # column from the ground plane up 8 m (y is down)
+                planes.append(Plane(
+                    np.array([px + nx * half, ground_y - 4.0,
+                              pz + nz * half]),
+                    n, e1, np.array([0.0, 1.0, 0.0]), s,
+                    ext1=half, ext2=4.0))
+    return planes
 
 
 def _sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -118,6 +158,15 @@ def render_view(
             continue
         pts = o + dirs_w[hit] * t[hit, None]
         rel = pts - pl.p0
+        if np.isfinite(pl.ext1) or np.isfinite(pl.ext2):
+            inside = (np.abs(rel @ pl.e1) <= pl.ext1) \
+                & (np.abs(rel @ pl.e2) <= pl.ext2)
+            idx = np.nonzero(hit)
+            hit = np.zeros_like(hit)
+            hit[idx[0][inside], idx[1][inside]] = True
+            if not hit.any():
+                continue
+            rel = rel[inside]
         tu = rel @ pl.e1 * pl.tex_scale
         tv = rel @ pl.e2 * pl.tex_scale
         vals = _sample_bilinear(tex, tu, tv)
@@ -150,6 +199,13 @@ def render_depth(
         with np.errstate(divide="ignore", invalid="ignore"):
             t = np.where(np.abs(denom) > 1e-9, num / denom, np.inf)
         hit = (t > 0.05) & (t < best_t) & (t < 400.0)
+        if (np.isfinite(pl.ext1) or np.isfinite(pl.ext2)) and hit.any():
+            rel = o + dirs_w[hit] * t[hit, None] - pl.p0
+            inside = (np.abs(rel @ pl.e1) <= pl.ext1) \
+                & (np.abs(rel @ pl.e2) <= pl.ext2)
+            idx = np.nonzero(hit)
+            hit = np.zeros_like(hit)
+            hit[idx[0][inside], idx[1][inside]] = True
         best_t[hit] = t[hit]
     # ray parameter t is distance along dirs_c whose z-component is 1 -> z = t
     return best_t
@@ -304,10 +360,14 @@ class SyntheticStream:
     seed: int = 0
     loop_radius: float = 60.0
     laps: float = 1.0
+    scene: str = "corridor"   # "corridor" | "interior" (pillar rings)
 
     def __post_init__(self):
         scene_width = 16.0
-        if self.trajectory == "loop":
+        if self.trajectory == "loop" and self.scene == "interior":
+            tex_size = 2048
+            px_per_m = 2048.0 / (4.0 * self.loop_radius + 16.0)
+        elif self.trajectory == "loop":
             scene_width = 2 * self.loop_radius + 12.0
             tex_size = 2048
             px_per_m = 2048.0 / (4.0 * self.loop_radius + 16.0)
@@ -324,8 +384,12 @@ class SyntheticStream:
             [0, 0, 1]])
         self.bf = fx * self.baseline
         self._tex = make_texture(tex_size, seed=self.seed)
-        self._planes = corridor_scene(width_m=scene_width,
-                                      tex_px_per_m=px_per_m)
+        if self.scene == "interior":
+            self._planes = interior_loop_scene(
+                self.loop_radius, tex_px_per_m=px_per_m, seed=self.seed)
+        else:
+            self._planes = corridor_scene(width_m=scene_width,
+                                          tex_px_per_m=px_per_m)
         if self.trajectory == "straight":
             self.poses_wc = straight_trajectory(self.n_frames,
                                                 speed=self.speed)

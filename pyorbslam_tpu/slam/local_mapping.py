@@ -182,8 +182,9 @@ def maintenance_ring_step(
     xyA, ocA, deA, urA, dpA, vaA = ring
     # compact both sides to their FREE features first (typically half
     # the budget): the epipolar Hamming matrix and every mask shrink 4x
-    q1 = jax.lax.top_k(free1.astype(jnp.float32), TRI_Q)[1]    # (Q,)
-    q2 = jax.lax.top_k(nb_free.astype(jnp.float32), TRI_Q)[1]  # (B, Q)
+    Q = min(TRI_Q, int(free1.shape[0]))
+    q1 = jax.lax.top_k(free1.astype(jnp.float32), Q)[1]    # (Q,)
+    q2 = jax.lax.top_k(nb_free.astype(jnp.float32), Q)[1]  # (B, Q)
     x1, o1, d1, u1, z1 = (a[slot1] for a in (xyA, ocA, deA, urA, dpA))
     tri = tri_ops.triangulate_batch(
         x1[q1], o1[q1], d1[q1], u1[q1], z1[q1], free1[q1],
@@ -198,7 +199,8 @@ def maintenance_ring_step(
     # typically a few hundred candidates triangulate, and the downlink
     # shares the tunnel with the image uplink.  Indices map back to
     # frame-feature space through the free-compaction gathers.
-    sel = jax.lax.top_k(tri.valid.astype(jnp.float32), TRI_CAP)[1]
+    sel = jax.lax.top_k(tri.valid.astype(jnp.float32),
+                        min(TRI_CAP, Q))[1]
     g = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
     idx1_full = jnp.where(tri.idx1 >= 0,
                           q1[jnp.maximum(tri.idx1, 0)], -1)
@@ -417,7 +419,7 @@ class LocalMapper:
         B, T, cap = pend["B"], pend["T"], pend["cap"]
         neighbors, targets = pend["neighbors"], pend["targets"]
         packed = np.asarray(pend["handle"])
-        nt = 6 * TRI_CAP
+        nt = 6 * min(TRI_CAP, m.keyframes.n_features)
         tri_flat = packed[: B * nt].reshape(B, nt)
         fuse_m = packed[B * nt: B * nt + T * cap].reshape(T, cap)
         rev_m = packed[B * nt + T * cap:]

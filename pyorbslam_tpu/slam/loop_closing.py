@@ -122,8 +122,17 @@ class LoopCloser:
 
     # ------------------------------ Sim3 ------------------------------
 
+    # Sim3 verification budget per keyframe: each candidate costs several
+    # device round trips (BoW match + Horn RANSAC + guided rescue);
+    # visual-aliasing storms otherwise stall the tracker behind dozens of
+    # doomed attempts.  The reference's consecutive-consistency window
+    # (LoopClosing.py:116-170) rarely yields more than 2-3 candidates on
+    # a genuine revisit.
+    MAX_SIM3_CANDIDATES = 3
+
     def compute_sim3(self, kf: int, candidates: List[int]):
         """Returns (loop_kf, Scw=(R,t,s), matched landmark map feat->lm) or None."""
+        candidates = candidates[: self.MAX_SIM3_CANDIDATES]
         ks = self.map.keyframes
         lm = self.map.landmarks
         cam = self.cfg.camera

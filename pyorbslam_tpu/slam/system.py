@@ -130,6 +130,9 @@ class System:
     # against the map-feedback drift of committing weakly-anchored poses.
     window_commit_min_inliers: int = 90
     localization_only: bool = False
+    # ablation switch for drift-repair evaluation: odometry+mapping
+    # without place recognition / loop correction
+    enable_loop_closing: bool = True
     vocabulary: Optional[Vocabulary] = None  # trained lazily if absent
 
     def __post_init__(self):
@@ -1195,7 +1198,7 @@ class System:
         self.kf_ring.insert(kf, frame)
         bow = self.vocabulary.bow_vector(word, wweight, frame_np["valid"])
         self.kfdb.add(kf, bow)
-        if self.loop_closer is None:
+        if self.loop_closer is None and self.enable_loop_closing:
             from pyorbslam_tpu.slam.loop_closing import LoopCloser
 
             self.loop_closer = LoopCloser(

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--window", type=int, default=0,
                     help="track W frames per device dispatch "
                          "(System.track_stereo_window); 0 = per frame")
+    ap.add_argument("--async", dest="async_mode", action="store_true",
+                    help="pipelined per-frame schedule "
+                         "(System.track_stereo_async; the bench default)")
+    ap.add_argument("--viewer", type=int, default=0, metavar="PORT",
+                    help="serve the live map/frame viewer on this port "
+                         "(the reference Viewer thread, Viewer.py:40)")
     args = ap.parse_args()
 
     from pyorbslam_tpu.config import SlamConfig
@@ -49,6 +55,13 @@ def main():
         n = min(n, args.maxFrames)
     print(f"tracking {n} frames from {args.pathToSequence}")
 
+    viewer = None
+    if args.viewer:
+        from pyorbslam_tpu.viz.live_viewer import LiveViewer
+
+        viewer = LiveViewer(system, port=args.viewer).start()
+        print(f"live viewer: http://localhost:{viewer.port}/")
+
     t_start = time.time()
     if args.window:
         buf = []
@@ -64,18 +77,26 @@ def main():
         for left, right, ts in buf:   # tail shorter than one window
             system.track_stereo(left, right, ts)
     else:
+        track = (system.track_stereo_async if args.async_mode
+                 else system.track_stereo)
         for i, (left, right, ts) in enumerate(iter_stereo(args.pathToSequence)):
             if i >= n:
                 break
-            system.track_stereo(left, right, ts)
+            if viewer is not None:
+                system._viewer_image = left
+            track(left, right, ts)
             if (i + 1) % 50 == 0:
                 st = system.stats[-1] if system.stats else {}
                 print(f"frame {i + 1}/{n}  state={system.state} "
                       f"inliers={st.get('inliers', '-')} kfs={system.map.keyframes.n}")
+        if args.async_mode:
+            system.flush_async()
     dt = time.time() - t_start
 
     system.save_trajectory_kitti(args.output)
     system.shutdown()
+    if viewer is not None:
+        viewer.stop()
     print(f"done: {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps); "
           f"trajectory -> {args.output}")
 

@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--laps", type=float, default=2.2)
     ap.add_argument("--radius", type=float, default=60.0)
     ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--scene", default="corridor",
+                    choices=["corridor", "interior"],
+                    help="interior = pillar rings inside the stereo "
+                         "depth gate (the drift-then-repair world)")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="disable loop closing (odometry-drift ablation)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +53,8 @@ def main():
 
     stream = SyntheticStream(
         n_frames=args.frames, width=args.width, height=args.height,
-        trajectory="loop", loop_radius=args.radius, laps=args.laps)
+        trajectory="loop", loop_radius=args.radius, laps=args.laps,
+        scene=args.scene)
     cfg = SlamConfig(
         camera=CameraConfig(
             fx=float(stream.K[0, 0]), fy=float(stream.K[1, 1]),
@@ -56,7 +63,7 @@ def main():
             th_depth=40.0),
         orb=OrbConfig(n_features=args.features),
     )
-    sysm = System(cfg)
+    sysm = System(cfg, enable_loop_closing=not args.no_loop)
     W = args.window
     t0 = time.time()
     render_s = 0.0
@@ -68,17 +75,22 @@ def main():
               f" loops={sysm.loop_closer.n_loops_closed if sysm.loop_closer else 0}"
               f" state={sysm.state}"
               f" elapsed={time.time() - t0:.0f}s", flush=True)
+        stages = sorted(sysm.times.items(), key=lambda kv: -kv[1])[:6]
+        print("  stages: " + "  ".join(
+            f"{k}={v:.1f}s/{sysm.time_counts[k]}" for k, v in stages),
+            flush=True)
 
     if W == 0:
-        # per-frame fused schedule (the accuracy-stable deployment mode)
+        # pipelined per-frame schedule (the deployment default)
         n = args.frames
         for i in range(n):
             tr = time.time()
             left, right = stream.frame(i)
             render_s += time.time() - tr
-            sysm.track_stereo(left, right, stream.timestamps[i])
+            sysm.track_stereo_async(left, right, stream.timestamps[i])
             if (i + 1) % 100 == 0:
                 progress(i + 1, n)
+        sysm.flush_async()
     else:
         n = args.frames - args.frames % W
         for w0 in range(0, n, W):
@@ -107,6 +119,7 @@ def main():
         "loops_closed": (sysm.loop_closer.n_loops_closed
                          if sysm.loop_closer else 0),
         "render_s": round(render_s, 1), "slam_s": round(dt, 1),
+        "scene": args.scene, "loop_closing": not args.no_loop,
         "backend": jax.devices()[0].platform,
     }))
 
