@@ -75,9 +75,13 @@ def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7,
     ]
 
 
+# bump when any scene/render code changes — keys the per-frame cache
+_SCENE_VERSION = "v2"
+
+
 def interior_loop_scene(radius: float, ground_y: float = 1.7,
                         tex_px_per_m: float = 48.0,
-                        n_pillars: int = 10, pillar_side: float = 2.0,
+                        n_pillars: int = 16, pillar_side: float = 2.0,
                         ring_offsets=(-9.0, 11.0),
                         seed: int = 0) -> List[Plane]:
     """A loop-course world whose structure stays INSIDE the stereo depth
@@ -94,22 +98,33 @@ def interior_loop_scene(radius: float, ground_y: float = 1.7,
                     np.array([1.0, 0.0, 0.0]),
                     np.array([0.0, 0.0, 1.0]), tex_px_per_m)]
     cx0, cz0 = 0.0, radius
-    half = pillar_side / 2.0
-    for ring_r in (radius + ring_offsets[0], radius + ring_offsets[1]):
+    # APERIODIC layout: regular angular spacing makes every sector of
+    # the ring look alike, and place recognition then closes *false*
+    # loops a third of a lap early (observed: ATE 200+ m from one bad
+    # Sim3).  Spacing, ring offset, pillar size and height all vary per
+    # pillar so no two viewpoints share a plausible appearance.
+    for ring_sign in (0, 1):
+        angs = np.cumsum(rng.uniform(0.5, 1.5, n_pillars))
+        angs = angs / angs[-1] * 2 * np.pi
         for k in range(n_pillars):
-            ang = 2 * np.pi * (k + rng.uniform(-0.2, 0.2)) / n_pillars
+            ang = angs[k]
+            ring_r = radius + ring_offsets[ring_sign] \
+                + rng.uniform(-4.0, 4.0)
+            side = pillar_side * rng.uniform(0.6, 1.8)
+            height = rng.uniform(3.0, 7.0)
+            half = side / 2.0
             px = cx0 + ring_r * np.sin(ang)
             pz = cz0 - ring_r * np.cos(ang)
-            s = tex_px_per_m * rng.uniform(0.7, 1.3)
+            s = tex_px_per_m * rng.uniform(0.5, 1.6)
             for nx, nz in ((1, 0), (-1, 0), (0, 1), (0, -1)):
                 n = np.array([nx, 0.0, nz], np.float64)
                 e1 = np.array([-nz, 0.0, nx], np.float64)
-                # column from the ground plane up 8 m (y is down)
+                # column standing on the ground plane (y is down)
                 planes.append(Plane(
-                    np.array([px + nx * half, ground_y - 4.0,
+                    np.array([px + nx * half, ground_y - height / 2,
                               pz + nz * half]),
                     n, e1, np.array([0.0, 1.0, 0.0]), s,
-                    ext1=half, ext2=4.0))
+                    ext1=half, ext2=height / 2))
     return planes
 
 
@@ -361,6 +376,7 @@ class SyntheticStream:
     loop_radius: float = 60.0
     laps: float = 1.0
     scene: str = "corridor"   # "corridor" | "interior" (pillar rings)
+    cache_dir: Optional[str] = None   # per-frame render cache (npz)
 
     def __post_init__(self):
         scene_width = 16.0
@@ -401,7 +417,20 @@ class SyntheticStream:
         self.timestamps = np.arange(self.n_frames, dtype=np.float64) * 0.1
 
     def frame(self, i: int):
-        """Render stereo pair i -> (left, right) uint8 arrays."""
+        """Render stereo pair i -> (left, right) uint8 arrays.  With
+        ``cache_dir`` set, rendered pairs persist to disk (the interior
+        scene renders ~2 s/frame on this host; ablation reruns over the
+        same world then stream from disk)."""
+        path = None
+        if self.cache_dir is not None:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            key = (f"{self.trajectory}_{self.scene}{_SCENE_VERSION}_"
+                   f"{self.width}x{self.height}_{self.loop_radius}_"
+                   f"{self.laps}_{self.seed}_{self.n_frames}_{i}")
+            path = os.path.join(self.cache_dir, f"sf_{key}.npz")
+            if os.path.exists(path):
+                d = np.load(path)
+                return d["l"], d["r"]
         Twc = self.poses_wc[i]
         left = render_view(Twc, self.K, self.width, self.height,
                            self._planes, self._tex)
@@ -410,4 +439,7 @@ class SyntheticStream:
             [self.baseline, 0.0, 0.0])
         right = render_view(Twc_r, self.K, self.width, self.height,
                             self._planes, self._tex)
-        return _to_u8(left), _to_u8(right)
+        lu, ru = _to_u8(left), _to_u8(right)
+        if path is not None:
+            np.savez_compressed(path, l=lu, r=ru)
+        return lu, ru

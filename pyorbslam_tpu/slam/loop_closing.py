@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from collections import deque
+import time
+from collections import defaultdict, deque
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -85,6 +86,7 @@ class LoopCloser:
         # sim3-ladder diagnostics; bounded so multi-thousand-KF runs
         # don't grow host memory without limit
         self.events: deque = deque(maxlen=4096)
+        self.times = defaultdict(float)   # per-stage wall clock
 
     # ------------------------------ detection ------------------------------
 
@@ -675,13 +677,20 @@ class LoopCloser:
 
     def on_keyframe(self, kf: int, bow: Dict[int, float]) -> bool:
         """Run the full loop-closing pipeline; returns True if a loop was
-        closed (LoopClosing.run single iteration)."""
+        closed (LoopClosing.run single iteration).  Stage wall-clock
+        lands in ``self.times`` (surfaced by the scale profiler)."""
+        t0 = time.perf_counter()
         cands = self.detect(kf, bow)
+        self.times["loop.detect"] += time.perf_counter() - t0
         if not cands:
             return False
+        t0 = time.perf_counter()
         hit = self.compute_sim3(kf, cands)
+        self.times["loop.sim3"] += time.perf_counter() - t0
         if hit is None:
             return False
         loop_kf, Scw, match_map = hit
+        t0 = time.perf_counter()
         self.correct(kf, loop_kf, Scw, match_map)
+        self.times["loop.correct"] += time.perf_counter() - t0
         return True

@@ -1269,7 +1269,11 @@ class System:
             pre = self.map.keyframes.Tcw[kf].copy()
             with self._t("kf.loop"):
                 closed = self.loop_closer.on_keyframe(kf, bow)
-            if not closed and self.loop_closer.run_gba_slice():
+            ran_slice = False
+            if not closed:
+                with self._t("kf.gba_slice"):
+                    ran_slice = self.loop_closer.run_gba_slice()
+            if ran_slice:
                 # amortized global-BA slice from a recent loop closure
                 # (bounded per-keyframe latency; see LoopCloser.correct)
                 delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
@@ -1364,7 +1368,11 @@ class System:
                 pre = self.map.keyframes.Tcw[kf].copy()
                 with self._t("kf.loop"):
                     closed = self.loop_closer.on_keyframe(kf, bow)
-                if not closed and self.loop_closer.run_gba_slice():
+                ran_slice = False
+                if not closed:
+                    with self._t("kf.gba_slice"):
+                        ran_slice = self.loop_closer.run_gba_slice()
+                if ran_slice:
                     delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(pre)
                     self.Tcw = (delta @ self.Tcw).astype(np.float32)
                 if closed:

@@ -54,7 +54,9 @@ def main():
     stream = SyntheticStream(
         n_frames=args.frames, width=args.width, height=args.height,
         trajectory="loop", loop_radius=args.radius, laps=args.laps,
-        scene=args.scene)
+        scene=args.scene,
+        cache_dir=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "_data", "stream_cache"))
     cfg = SlamConfig(
         camera=CameraConfig(
             fx=float(stream.K[0, 0]), fy=float(stream.K[1, 1]),
@@ -79,6 +81,11 @@ def main():
         print("  stages: " + "  ".join(
             f"{k}={v:.1f}s/{sysm.time_counts[k]}" for k, v in stages),
             flush=True)
+        if sysm.loop_closer is not None and sysm.loop_closer.times:
+            print("  loop:   " + "  ".join(
+                f"{k}={v:.1f}s" for k, v in sorted(
+                    sysm.loop_closer.times.items(), key=lambda kv: -kv[1])),
+                flush=True)
 
     if W == 0:
         # pipelined per-frame schedule (the deployment default)
