@@ -188,10 +188,25 @@ class LoopCloser:
             s2_2 = sigma2[ks.kp_octave[cand, fi]]
             n = len(qi)
 
+            # pad the correspondence count to a bucket: every distinct n
+            # would otherwise compile a fresh RANSAC program (observed as
+            # seconds per candidate through the remote tunnel)
+            B = 64
+            while B < n:
+                B <<= 1
+            pad = B - n
+
+            def _p(a, fill=0.0):
+                return np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) \
+                    if pad else a
+
             res = sim3_ransac(
-                jnp.asarray(X1c), jnp.asarray(X2c), jnp.asarray(uv1),
-                jnp.asarray(uv2), jnp.asarray(s2_1), jnp.asarray(s2_2),
-                jnp.ones(n, bool), cam4, jax.random.PRNGKey(kf),
+                jnp.asarray(_p(X1c)), jnp.asarray(_p(X2c)),
+                jnp.asarray(_p(uv1)), jnp.asarray(_p(uv2)),
+                jnp.asarray(_p(s2_1, 1.0)), jnp.asarray(_p(s2_2, 1.0)),
+                jnp.asarray(np.arange(B) < n), cam4,
+                jax.random.PRNGKey(kf),
                 with_scale=False,
             )
             self.events.append((
@@ -204,7 +219,7 @@ class LoopCloser:
             # two keyframes (ORBMatcher.search_by_sim3, th=7.5) seeded
             # with the RANSAC estimate, then refine the Sim3 over the
             # combined set (LoopClosing.py:203-210)
-            inl = np.asarray(res.inliers)
+            inl = np.asarray(res.inliers)[:n]
             seed_q = qi[inl]
             seed_f = fi[inl]
             grown12 = self._search_by_sim3(
@@ -461,11 +476,20 @@ class LoopCloser:
 
         # ---------------- essential graph ----------------
         C = ks.n
-        Rs = np.transpose(ks.Tcw[:C, :3, :3], (0, 1, 2)).astype(np.float32)
-        tss = ks.Tcw[:C, :3, 3].astype(np.float32)
-        ss = np.ones(C, np.float32)
-        fixed = np.zeros(C, bool)
+        # vertex count bucket-padded for the same compile-reuse reason
+        # as the edges below: padded vertices are FIXED identity poses
+        # with no incident edges — inert in the solve
+        Cb = 64
+        while Cb < C:
+            Cb <<= 1
+        Rs = np.tile(np.eye(3, dtype=np.float32), (Cb, 1, 1))
+        Rs[:C] = ks.Tcw[:C, :3, :3].astype(np.float32)
+        tss = np.zeros((Cb, 3), np.float32)
+        tss[:C] = ks.Tcw[:C, :3, 3].astype(np.float32)
+        ss = np.ones(Cb, np.float32)
+        fixed = np.zeros(Cb, bool)
         fixed[loop_kf] = True
+        fixed[C:] = True
 
         e_i, e_j, mR, mt, msc = [], [], [], [], []
         seen_edges: Set[Tuple[int, int]] = set()
@@ -516,12 +540,28 @@ class LoopCloser:
             # above the CG threshold, the multi-device engine when a mesh
             # is available (edges sharded, psum'd CG matvec,
             # parallel/dist_pose_graph.py), else single-device
-            # matrix-free PCG (O(E+C) memory)
-            e_i_np = np.array(e_i, np.int32)
-            e_j_np = np.array(e_j, np.int32)
-            mR_np = np.stack(mR).astype(np.float32)
-            mt_np = np.stack(mt).astype(np.float32)
-            ms_np = np.array(msc, np.float32)
+            # matrix-free PCG (O(E+C) memory).
+            # Edge count is bucket-padded (valid-masked) so successive
+            # loop events reuse the compiled solver instead of paying a
+            # fresh compile per edge-list size.
+            E = len(e_i)
+            Eb = 256
+            while Eb < E:
+                Eb <<= 1
+            padE = Eb - E
+            e_i_np = np.concatenate(
+                [np.array(e_i, np.int32), np.zeros(padE, np.int32)])
+            e_j_np = np.concatenate(
+                [np.array(e_j, np.int32), np.zeros(padE, np.int32)])
+            mR_np = np.concatenate([
+                np.stack(mR).astype(np.float32),
+                np.tile(np.eye(3, dtype=np.float32), (padE, 1, 1))])
+            mt_np = np.concatenate(
+                [np.stack(mt).astype(np.float32),
+                 np.zeros((padE, 3), np.float32)])
+            ms_np = np.concatenate(
+                [np.array(msc, np.float32), np.ones(padE, np.float32)])
+            e_valid = np.arange(Eb) < E
             big = C > self.cfg.ba.pose_graph_cg_threshold
             if big and len(jax.devices()) > 1:
                 from pyorbslam_tpu.parallel import dist_pose_graph
@@ -530,7 +570,7 @@ class LoopCloser:
                 mesh = make_mesh()
                 pe = dist_pose_graph.pad_edges(
                     mesh.shape["map"], e_i_np, e_j_np, mR_np, mt_np,
-                    ms_np, np.ones(len(e_i), bool))
+                    ms_np, e_valid)
                 reps, shds = dist_pose_graph.place_pose_graph(
                     mesh, [Rs, tss, ss, fixed], list(pe))
                 res = dist_pose_graph.distributed_pose_graph(
@@ -551,7 +591,7 @@ class LoopCloser:
                     jnp.asarray(e_i_np), jnp.asarray(e_j_np),
                     jnp.asarray(mR_np), jnp.asarray(mt_np),
                     jnp.asarray(ms_np),
-                    jnp.ones(len(e_i), bool),
+                    jnp.asarray(e_valid),
                     iters=self.cfg.ba.pose_graph_iters,
                 )
             newR = np.asarray(res.R)

@@ -1508,10 +1508,23 @@ class System:
             f_xy = np.asarray(frame.xy)[fi]
             f_oct = np.asarray(frame.octave)[fi]
 
+            # bucket-pad the correspondence count: a fresh shape would
+            # compile a fresh RANSAC program (seconds through the tunnel)
             n = len(qi)
+            B = 64
+            while B < n:
+                B <<= 1
+            pad = B - n
+
+            def _p(a, fill=0.0):
+                return np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) \
+                    if pad else a
+
             res = epnp_ransac(
-                jnp.asarray(Xw), jnp.asarray(f_xy),
-                jnp.asarray(sigma2[f_oct]), jnp.ones(n, bool), cam4,
+                jnp.asarray(_p(Xw)), jnp.asarray(_p(f_xy)),
+                jnp.asarray(_p(sigma2[f_oct], 1.0)),
+                jnp.asarray(np.arange(B) < n), cam4,
                 jax.random.PRNGKey(self.frame_id),
             )
             if not bool(res.ok):
