@@ -36,6 +36,10 @@ class TestTrackingVO:
     # the camera spent half the run outside a wall).  The full System
     # with per-keyframe BA holds ~0.02 m ATE on the same world
     # (tests/test_system.py); VO alone is the drift-bounded slice.
+    #
+    # Calibration (measured on the v6 world, 2026-08-21): ATE 0.845 m,
+    # drift 1.79%, RPE-t 0.214 m, RPE-r 0.0115 rad, 0 weak frames,
+    # median inliers 125.  Gates below are ~1.2-1.5x those values.
     def test_ate_gate(self, vo_run):
         tracker, est_wc, seq = vo_run
         track_len = np.linalg.norm(
@@ -49,7 +53,7 @@ class TestTrackingVO:
         _, est_wc, seq = vo_run
         t_rmse, r_rmse = rpe(est_wc, seq.poses_wc)
         assert t_rmse < 0.25, f"RPE-t {t_rmse:.3f} m/frame"
-        assert r_rmse < 0.02, f"RPE-r {r_rmse:.4f} rad/frame"
+        assert r_rmse < 0.017, f"RPE-r {r_rmse:.4f} rad/frame"
 
     def test_tracking_never_lost(self, vo_run):
         tracker, _, _ = vo_run
