@@ -132,6 +132,26 @@ class LoopCloser:
     # a genuine revisit.
     MAX_SIM3_CANDIDATES = 3
 
+    @staticmethod
+    @jax.jit
+    def _match_bow_batch(cur_desc, cur_node, cur_ok,
+                         cand_desc, cand_node, cand_ok):
+        """All candidates' exhaustive BoW matching as ONE jitted dispatch
+        and one packed read — called eagerly this was dozens of per-op
+        round trips per candidate."""
+        cur_bits = unpack_bits(cur_desc)
+        cur_pop = popcount(cur_desc)
+
+        def one(cd, cn, co):
+            idx, dist, matched = match_ops.match_by_bow(
+                cur_bits, cur_pop, cur_node, cur_ok,
+                unpack_bits(cd), popcount(cd), cn, co,
+                ratio=0.75, node_gate=False,
+            )
+            return idx, matched
+
+        return jax.vmap(one)(cand_desc, cand_node, cand_ok)
+
     def compute_sim3(self, kf: int, candidates: List[int]):
         """Returns (loop_kf, Scw=(R,t,s), matched landmark map feat->lm) or None."""
         candidates = candidates[: self.MAX_SIM3_CANDIDATES]
@@ -141,35 +161,34 @@ class LoopCloser:
         cam4 = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
         sigma2 = np.asarray(self.cfg.orb.level_sigma2)
 
-        cur_desc = jnp.asarray(ks.kp_desc[kf])
-        cur_bits = unpack_bits(cur_desc)
-        cur_pop = popcount(cur_desc)
-        cur_node = jnp.asarray(ks.kp_node[kf])
         cur_lm = lm.resolve(ks.obs_lm[kf])
+        # search_by_BoW_kf_kf (ORBMatcher.py:120-213): match features
+        # that carry LIVE LANDMARKS on both sides; the Sim3 geometry
+        # uses the landmark positions mapped into each camera
+        # (Sim3Solver.__init__, Sim3Solver.py:27-56) — multi-view
+        # refined points, not raw single-view stereo depths.
+        # ALL candidates match in ONE jitted dispatch + one read
+        # (exhaustive, node_gate=False: the loop stage needs every
+        # available correspondence and the full Hamming matrix is one
+        # MXU matmul)
+        cur_ok = ks.kp_valid[kf] & (cur_lm >= 0) \
+            & lm.alive[np.maximum(cur_lm, 0)]
+        CANDS = self.MAX_SIM3_CANDIDATES
+        sel = np.asarray((candidates + [candidates[0]] * CANDS)[:CANDS])
+        cand_lms = [lm.resolve(ks.obs_lm[c]) for c in sel]
+        cand_ok = np.stack([
+            ks.kp_valid[c] & (clm >= 0) & lm.alive[np.maximum(clm, 0)]
+            for c, clm in zip(sel, cand_lms)])
+        idx_b, matched_b = (np.asarray(a) for a in self._match_bow_batch(
+            jnp.asarray(ks.kp_desc[kf]), jnp.asarray(ks.kp_node[kf]),
+            jnp.asarray(cur_ok),
+            jnp.asarray(ks.kp_desc[sel]), jnp.asarray(ks.kp_node[sel]),
+            jnp.asarray(cand_ok),
+        ))
 
-        for cand in candidates:
-            cand_desc = jnp.asarray(ks.kp_desc[cand])
-            cand_lm = lm.resolve(ks.obs_lm[cand])
-            # search_by_BoW_kf_kf (ORBMatcher.py:120-213): match features
-            # that carry LIVE LANDMARKS on both sides; the Sim3 geometry
-            # uses the landmark positions mapped into each camera
-            # (Sim3Solver.__init__, Sim3Solver.py:27-56) — multi-view
-            # refined points, not raw single-view stereo depths
-            cur_ok = ks.kp_valid[kf] & (cur_lm >= 0) \
-                & lm.alive[np.maximum(cur_lm, 0)]
-            cand_ok = ks.kp_valid[cand] & (cand_lm >= 0) \
-                & lm.alive[np.maximum(cand_lm, 0)]
-            # exhaustive device matching (node_gate=False): the loop
-            # stage needs every available correspondence and the full
-            # Hamming matrix is one MXU matmul — see match_by_bow
-            idx, dist, matched = match_ops.match_by_bow(
-                cur_bits, cur_pop, cur_node, jnp.asarray(cur_ok),
-                unpack_bits(cand_desc), popcount(cand_desc),
-                jnp.asarray(ks.kp_node[cand]), jnp.asarray(cand_ok),
-                ratio=0.75, node_gate=False,
-            )
-            matched = np.asarray(matched)
-            idx = np.asarray(idx)
+        for ci, cand in enumerate(candidates):
+            cand_lm = cand_lms[ci]
+            idx, matched = idx_b[ci], matched_b[ci]
             qi = np.nonzero(matched)[0]
             fi = idx[qi]
             self.events.append((kf, cand, "bow_pairs", len(qi)))

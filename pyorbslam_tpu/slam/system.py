@@ -66,6 +66,29 @@ _MIRROR_FIELDS = ("pos", "desc", "normal", "dmin", "dmax", "alive")
 
 
 @jax.jit
+def _bow_match_jit(kf_desc, kf_node, q_active, f_bits, f_pop, f_node,
+                   f_valid):
+    """search_by_BoW as ONE dispatch (called eagerly this is dozens of
+    per-op tunnel round trips) — the relocalization candidate matcher."""
+    return match_ops.match_by_bow(
+        unpack_bits(kf_desc), popcount(kf_desc), kf_node, q_active,
+        f_bits, f_pop, f_node, f_valid)
+
+
+@jax.jit
+def _bow_match_rot_jit(kf_desc, kf_node, q_active, f_bits, f_pop, f_node,
+                       f_valid, kf_angle, f_angle):
+    """search_by_BoW + rotation-consistency as ONE dispatch — the
+    reference-keyframe fallback matcher (Tracking.py:329-356)."""
+    idx, dist, matched = match_ops.match_by_bow(
+        unpack_bits(kf_desc), popcount(kf_desc), kf_node, q_active,
+        f_bits, f_pop, f_node, f_valid)
+    matched = match_ops.rotation_consistency_mask(
+        kf_angle, f_angle, jnp.maximum(idx, 0), matched)
+    return idx, matched
+
+
+@jax.jit
 def _mirror_scatter(mirror, ids, rows):
     """Scatter changed landmark rows into the device-resident mirror —
     a delta update costing |changed| x 68 B through the tunnel instead of
@@ -1409,16 +1432,12 @@ class System:
             return None
         _, _, node = self.vocabulary.transform(
             frame.desc, levels_up=self.vocabulary.feature_levels_up)
-        kf_desc = jnp.asarray(ks.kp_desc[kf])
-        idx, _, matched = match_ops.match_by_bow(
-            unpack_bits(kf_desc), popcount(kf_desc),
+        idx, matched = _bow_match_rot_jit(
+            jnp.asarray(ks.kp_desc[kf]),
             jnp.asarray(ks.kp_node[kf]), jnp.asarray(q_active),
             frame.desc_bits, popcount(frame.desc), jnp.asarray(node),
             frame.valid,
-        )
-        matched = match_ops.rotation_consistency_mask(
             jnp.asarray(ks.kp_angle[kf]), frame.angle,
-            jnp.maximum(idx, 0), matched,
         )
         matched_np = np.asarray(matched)
         if matched_np.sum() < 15:
@@ -1486,9 +1505,8 @@ class System:
             ks = self.map.keyframes
             kf_lm = ks.obs_lm[kf]
             q_active = kf_lm >= 0
-            kf_desc = jnp.asarray(ks.kp_desc[kf])
-            idx, dist, matched = match_ops.match_by_bow(
-                unpack_bits(kf_desc), popcount(kf_desc),
+            idx, dist, matched = _bow_match_jit(
+                jnp.asarray(ks.kp_desc[kf]),
                 jnp.asarray(ks.kp_node[kf]), jnp.asarray(q_active),
                 f_bits, f_pop, f_node, jnp.asarray(frame_valid),
             )
