@@ -45,7 +45,13 @@ class DeviceKFRing:
     (xy, octave, desc, u_right, depth, valid).
     """
 
-    def __init__(self, capacity: int = 16):
+    # 32 slots: at fast-motion keyframe density (~0.5 KF/frame on the
+    # 2.3-lap scale run) a 16-slot ring rotated fuse targets out before
+    # their maintenance pass ran, forcing ~150 fallbacks to the
+    # separate-step path; 32 covers the deepest covisible target set
+    # (1 + 4 tri neighbors + 8 fuse targets) with headroom.  Memory:
+    # 32 x N x ~53 B ≈ 3.5 MB device-resident.
+    def __init__(self, capacity: int = 32):
         self.R = capacity
         self.arrays = None
         self.slot_of: Dict[int, int] = {}
