@@ -5,13 +5,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 The baseline denominator is the reference pyOrbSLAM2's single-chip (CPU)
-frames/s.  The reference publishes no numbers (BASELINE.md); until its
-C++ extractor + g2o are built and measured on this machine, the baseline
-uses the documented context figure: upstream C++ ORB-SLAM2 runs KITTI
-stereo at ~10 fps on desktop CPUs and the pure-Python reference is
-substantially slower (README.md:6) — we conservatively credit the
-reference with the full 10 fps, so vs_baseline UNDERSTATES the speedup.
-If a measured value exists in baseline_measured.json, it is used instead.
+frames/s.  The reference publishes no numbers (BASELINE.md), so it is
+MEASURED on this machine by tools/refbench/ref_tracking_bench.py: the
+reference's own Tracking.grab_image_stereo hot path (its C++ ORB
+extractor + its Python stereo matching, projection matchers, local-map
+frustum search and keyframe creation), with only the unbuildable g2o
+solve replaced by a ~1 ms numpy stand-in and BoW/mapping-thread work
+excluded — every substitution favors the reference, so the recorded
+baseline fps is an upper bound on its true speed and vs_baseline
+UNDERSTATES the speedup.  baseline_measured.json carries the number
+(scope="tracking-sans-g2o"); without it, bench falls back to crediting
+the reference with upstream C++ ORB-SLAM2's ~10 fps real-time figure.
 """
 
 import json
@@ -305,8 +309,10 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            baseline_fps = float(json.load(f)["reference_fps"])
-        baseline_src = "measured-frontend-only-upper-bound"
+            bl = json.load(f)
+        baseline_fps = float(bl["reference_fps"])
+        baseline_src = ("measured-" + bl["scope"].split(" ")[0]
+                        if "scope" in bl else "measured")
     else:
         baseline_fps = 10.0
         baseline_src = "upstream-cpp-estimate"
@@ -340,6 +346,7 @@ def bench_full_pipeline(window: int = 0, pipelined: bool = False,
         k: round(v, 3) for k, v in sorted(
             sysm.map.times.items(), key=lambda kv: -kv[1])
     }
+    rec["ba_counters"] = dict(sysm.map.counters)
     from collections import Counter
 
     rec["schedule_events"] = dict(Counter(sysm.events))
