@@ -22,23 +22,70 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
-def make_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
-    """Procedural corner-rich texture in [0, 255] float32.
+def _bilinear_noise(rng, octave: int, size: int) -> np.ndarray:
+    """Smooth value noise: bilinear upsample of a random octave grid."""
+    coarse = rng.random((octave, octave)).astype(np.float32)
+    idx = np.linspace(0.0, octave - 1.0, size).astype(np.float32)
+    i0 = np.floor(idx).astype(np.int64)
+    i1 = np.minimum(i0 + 1, octave - 1)
+    f = idx - i0
+    rows = coarse[i0] * (1 - f)[:, None] + coarse[i1] * f[:, None]
+    return rows[:, i0] * (1 - f)[None, :] + rows[:, i1] * f[None, :]
 
-    Multi-octave value noise plus thresholded blobs: the hard blob edges
-    create strong FAST corners at many scales, similar in spirit to the
-    road/brick texture statistics the ORB front end sees on KITTI.
+
+def make_texture(size: int = 1024, seed: int = 0) -> np.ndarray:
+    """Procedural corner-rich APERIODIC texture in [0, 255] float32.
+
+    Scattered hard-edged ellipse blobs with random position, size, aspect,
+    orientation and intensity over smooth value noise.  An earlier version
+    placed identical-amplitude blobs on a regular kron lattice; that gave
+    the texture a 1.3-2.7 m repeat period on world surfaces, and any
+    tracking chain that drifted about one lattice cell could lock onto the
+    shifted copy with high inlier consensus (exactly the false-alias
+    failure the round-4 interior world fixed for *structure*).  Scattered
+    blobs have no repeat period at any scale.
     """
     rng = np.random.default_rng(seed)
-    tex = np.zeros((size, size), np.float32)
-    for octave, amp in [(8, 0.25), (16, 0.35), (32, 0.5), (64, 0.6), (128, 0.4)]:
-        coarse = rng.random((octave, octave)).astype(np.float32)
-        reps = size // octave
-        up = np.kron(coarse, np.ones((reps, reps), np.float32))
-        # cheap smoothing so blobs are roundish but edges stay crisp after threshold
-        up = (up + np.roll(up, reps // 2, 0) + np.roll(up, reps // 2, 1)) / 3.0
-        tex += amp * (up > 0.55).astype(np.float32)
-        tex += 0.15 * amp * up
+    # smooth low-frequency illumination variation (not corner-forming)
+    tex = 0.35 * _bilinear_noise(rng, 8, size) \
+        + 0.25 * _bilinear_noise(rng, 32, size)
+    # Scattered blobs with a LOG-UNIFORM radius distribution (2-40 px)
+    # and an attached half-intensity satellite lobe.  Equal-size sharp
+    # blobs made every corner fire at every pyramid level (the same
+    # physical corner re-detected at a different octave each frame,
+    # 47% octave churn) and near-symmetric mass left the IC orientation
+    # ill-defined (p90 angle churn ~60 deg) — scale-localized detail
+    # plus an asymmetric lobe pins both, like real-world texture does.
+    n_blobs = (size // 11) ** 2
+    cx = rng.uniform(0, size, n_blobs)
+    cy = rng.uniform(0, size, n_blobs)
+    ra = 2.0 * np.exp(rng.uniform(0.0, 3.0, n_blobs))     # 2..40 px
+    rb = ra * rng.uniform(0.4, 1.0, n_blobs)
+    th = rng.uniform(0, np.pi, n_blobs)
+    inten = rng.uniform(0.35, 1.0, n_blobs) * rng.choice(
+        [-1.0, 1.0], n_blobs)
+    # satellite lobe: offset along the major axis, smaller + weaker
+    sat_phase = rng.uniform(0, 2 * np.pi, n_blobs)
+    for k in range(n_blobs):
+        r = int(np.ceil(ra[k] * 1.8)) + 1
+        xs = np.arange(max(int(cx[k]) - r, 0), min(int(cx[k]) + r + 1, size))
+        ys = np.arange(max(int(cy[k]) - r, 0), min(int(cy[k]) + r + 1, size))
+        if len(xs) == 0 or len(ys) == 0:
+            continue
+        dx = xs[None, :] - cx[k]
+        dy = ys[:, None] - cy[k]
+        c, s = np.cos(th[k]), np.sin(th[k])
+        u = (c * dx + s * dy) / ra[k]
+        v = (-s * dx + c * dy) / rb[k]
+        blob = ((u * u + v * v) <= 1.0).astype(np.float32)
+        # satellite: radius 0.45r at distance 1.15r, direction sat_phase
+        ox = 1.15 * ra[k] * np.cos(sat_phase[k])
+        oy = 1.15 * ra[k] * np.sin(sat_phase[k])
+        du = (dx - ox) / (0.45 * ra[k])
+        dv = (dy - oy) / (0.45 * ra[k])
+        blob += 0.5 * ((du * du + dv * dv) <= 1.0)
+        tex[ys[0]: ys[-1] + 1, xs[0]: xs[-1] + 1] += \
+            (0.55 * inten[k]) * blob
     # fine speckle so every 31x31 patch has gradient
     tex += 0.15 * rng.random((size, size)).astype(np.float32)
     tex -= tex.min()
@@ -76,7 +123,7 @@ def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7,
 
 
 # bump when any scene/render code changes — keys the per-frame cache
-_SCENE_VERSION = "v2"
+_SCENE_VERSION = "v4"
 
 
 def interior_loop_scene(radius: float, ground_y: float = 1.7,
@@ -126,6 +173,50 @@ def interior_loop_scene(radius: float, ground_y: float = 1.7,
                     n, e1, np.array([0.0, 1.0, 0.0]), s,
                     ext1=half, ext2=height / 2))
     return planes
+
+
+_MIP_CACHE: dict = {}
+
+
+def _mips_for(tex: np.ndarray) -> List[np.ndarray]:
+    """Box-filtered mip chain, cached per texture object."""
+    key = id(tex)
+    hit = _MIP_CACHE.get(key)
+    if hit is not None and hit[0] is tex:
+        return hit[1]
+    mips = [tex]
+    while mips[-1].shape[0] >= 16 and mips[-1].shape[0] % 2 == 0:
+        m = mips[-1]
+        mips.append(((m[0::2, 0::2] + m[1::2, 0::2]
+                      + m[0::2, 1::2] + m[1::2, 1::2]) * 0.25))
+    _MIP_CACHE.clear()          # one world at a time; avoid leaks
+    _MIP_CACHE[key] = (tex, mips)
+    return mips
+
+
+def _sample_mip(mips: List[np.ndarray], u: np.ndarray, v: np.ndarray,
+                footprint_px: np.ndarray) -> np.ndarray:
+    """Trilinear mip sampling: prefiltered texture lookup at the screen
+    pixel's footprint.  Plain bilinear sampling of a minified texture
+    ALIASES — far-field surfaces shimmer frame to frame, ORB descriptors
+    on them churn (measured: only ~7% of adjacent-frame descriptors
+    matched within 30 Hamming bits), and BoW place recognition loses its
+    signal.  A real camera integrates over the pixel footprint; so must
+    the renderer."""
+    lvl = np.clip(np.log2(np.maximum(footprint_px, 1.0)), 0.0,
+                  len(mips) - 1.001)
+    l0 = np.floor(lvl).astype(np.int64)
+    fl = (lvl - l0).astype(np.float32)
+    out = np.empty(u.shape, np.float32)
+    for level in np.unique(l0):
+        m = l0 == level
+        s0 = 0.5 ** level
+        a = _sample_bilinear(mips[level], u[m] * s0, v[m] * s0)
+        l1 = min(level + 1, len(mips) - 1)
+        s1 = 0.5 ** l1
+        b = _sample_bilinear(mips[l1], u[m] * s1, v[m] * s1)
+        out[m] = a * (1 - fl[m]) + b * fl[m]
+    return out
 
 
 def _sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -184,7 +275,12 @@ def render_view(
             rel = rel[inside]
         tu = rel @ pl.e1 * pl.tex_scale
         tv = rel @ pl.e2 * pl.tex_scale
-        vals = _sample_bilinear(tex, tu, tv)
+        # pixel footprint on the plane in texture px: angular pixel size
+        # (1/fx) x ray distance x slant stretch (||dir||^2 / |dir . n|)
+        dir_n2 = np.sum(dirs_w[hit] * dirs_w[hit], axis=-1)
+        fp = pl.tex_scale * t[hit] * dir_n2 / (
+            fx * np.abs(denom[hit]) + 1e-9)
+        vals = _sample_mip(_mips_for(tex), tu, tv, fp)
         # mild distance attenuation for depth cueing
         vals = vals / (1.0 + 0.0015 * t[hit])
         img[hit] = vals.astype(np.float32)
@@ -309,7 +405,7 @@ def generate_sequence(
     fx = 0.58 * width  # KITTI-like FOV  [generate_sequence]
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
     key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
-           f"_{scene_width}_{loop_radius}_v6"
+           f"_{scene_width}_{loop_radius}_v10"
            + (f"_l{laps}" if laps != 1.0 else ""))
     cache_path = None
     if cache_dir is not None:
@@ -324,11 +420,20 @@ def generate_sequence(
             )
 
     # keep the texture tile period comfortably above the world extent so
-    # distinct places look distinct (see corridor_scene docstring)
+    # distinct places look distinct (see corridor_scene docstring).  For
+    # the straight corridor the period must exceed trajectory length +
+    # stereo view distance: at the old fixed 1024 px / 48 px-per-m the
+    # world repeated every 21.3 m, and the zero-disparity far wall let
+    # epipolar/fuse matching lock onto identical features one tile away
+    # — coherently mis-placed landmarks that pulled BA cameras meters
+    # along z (observed: 6 m keyframe jump at frame ~90 of a 100-frame
+    # run)
     if trajectory == "loop":
         tex_size, px_per_m = 2048, 2048.0 / (4.0 * loop_radius + 16.0)
     else:
-        tex_size, px_per_m = 1024, 48.0
+        length = n_frames * speed + 60.0
+        tex_size = 4096
+        px_per_m = min(48.0, tex_size / length)
     tex = make_texture(tex_size, seed=seed)
     planes = corridor_scene(width_m=scene_width, tex_px_per_m=px_per_m)
     if trajectory == "straight":
