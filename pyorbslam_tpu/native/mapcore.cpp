@@ -55,6 +55,10 @@ struct MapCore {
     // private inverse index + covisibility
     std::vector<std::vector<Obs>> lm_obs;                 // [lm_capacity]
     std::unordered_map<int32_t, std::unordered_map<int32_t, int32_t>> covis;
+    // landmarks whose alive flag this core flipped since the last drain
+    // (kills can happen deep inside erase/replace/remove paths the
+    // Python layer never sees) — consumed by the device-mirror delta
+    std::vector<int32_t> dirty;
 
     int32_t* row(int32_t kf) { return obs_lm + int64_t(kf) * n_features; }
     const float* ur_row(int32_t kf) const {
@@ -133,6 +137,7 @@ void mapcore_kill_landmark(void* h, int32_t lm) {
         if (r[o.feat] == lm) r[o.feat] = -1;
     }
     m->lm_obs[lm].clear();
+    if (m->alive[lm]) m->dirty.push_back(lm);
     m->alive[lm] = 0;
 }
 
@@ -180,8 +185,19 @@ void mapcore_replace_landmark(void* h, int32_t lm, int32_t by) {
     m->found[by] += m->found[lm];
     m->visible[by] += m->visible[lm];
     m->lm_obs[lm].clear();
+    if (m->alive[lm]) m->dirty.push_back(lm);
     m->alive[lm] = 0;
     m->replaced_by[lm] = by;
+}
+
+// Drain the alive-flip log accumulated by kill/replace paths; returns
+// the count written (cap-bounded; the remainder is kept for next drain).
+int32_t mapcore_drain_dirty(void* h, int32_t* out, int32_t cap) {
+    MapCore* m = static_cast<MapCore*>(h);
+    int32_t n = std::min<int32_t>(cap, m->dirty.size());
+    for (int32_t i = 0; i < n; ++i) out[i] = m->dirty[i];
+    m->dirty.erase(m->dirty.begin(), m->dirty.begin() + n);
+    return n;
 }
 
 // Remove a keyframe: erase its observations (with support-collapse

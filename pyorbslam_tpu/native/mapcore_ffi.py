@@ -49,7 +49,8 @@ def _load():
                "mapcore_remove_keyframe", "mapcore_first_observers",
                "mapcore_redundancy"):
         getattr(lib, fn).restype = None
-    for fn in ("mapcore_erase_observation", "mapcore_n_observers",
+    for fn in ("mapcore_erase_observation", "mapcore_drain_dirty",
+               "mapcore_n_observers",
                "mapcore_observers", "mapcore_observers_csr",
                "mapcore_observed_landmarks", "mapcore_update_connections",
                "mapcore_neighbors", "mapcore_covis_weight",
@@ -137,6 +138,18 @@ class MapCore:
 
     def remove_keyframe(self, kf: int):
         self._lib.mapcore_remove_keyframe(self._h, kf)
+
+    def drain_dirty(self, cap: int = 1 << 16) -> np.ndarray:
+        """Landmark ids whose alive flag the core flipped since the last
+        drain (kills inside erase/replace/remove paths) — feeds the
+        device-mirror delta update."""
+        out = np.empty(cap, np.int32)
+        n = self._lib.mapcore_drain_dirty(self._h, _i32p(out), cap)
+        ids = out[:n].copy()
+        while n == cap:
+            n = self._lib.mapcore_drain_dirty(self._h, _i32p(out), cap)
+            ids = np.concatenate([ids, out[:n]])
+        return ids
 
     def n_observers(self, lm: int) -> int:
         return self._lib.mapcore_n_observers(self._h, lm)

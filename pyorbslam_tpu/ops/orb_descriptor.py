@@ -172,7 +172,12 @@ def ic_angles_at(padded: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     hp = HALF_PATCH_SIZE
     umax = umax_table()
     hpd, wpd = padded.shape
-    cols = jnp.arange(wpd, dtype=jnp.float32)[None, :]
+    # center the column weights mid-canvas: cumsum(col*I) would otherwise
+    # reach ~2e8 at wide atlas canvases (float32 resolution ~16 there),
+    # injecting noise into m10 for keypoints at large x; the centering is
+    # compensated exactly in the m10 line below
+    c0 = float(wpd // 2)
+    cols = (jnp.arange(wpd, dtype=jnp.float32) - c0)[None, :]
     cumI = jnp.concatenate(
         [jnp.zeros((hpd, 1), padded.dtype), jnp.cumsum(padded, axis=1)],
         axis=1)
@@ -191,7 +196,7 @@ def ic_angles_at(padded: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     cJ = cumJ.reshape(-1)
     winI = jnp.take(cI, hi) - jnp.take(cI, lo)
     winJ = jnp.take(cJ, hi) - jnp.take(cJ, lo)
-    m10 = jnp.sum(winJ, axis=1) - x.astype(jnp.float32) * jnp.sum(
+    m10 = jnp.sum(winJ, axis=1) - (x.astype(jnp.float32) - c0) * jnp.sum(
         winI, axis=1)
     m01 = jnp.sum(winI * dys[None, :].astype(jnp.float32), axis=1)
     ang = jnp.degrees(jnp.arctan2(m01, m10))

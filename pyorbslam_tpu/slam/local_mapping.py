@@ -297,6 +297,13 @@ class LocalMapper:
             keep = dist > 1e-6
             i1, i2, pos, po, dist = (
                 i1[keep], i2[keep], pos[keep], po[keep], dist[keep])
+            # apply-time guard (pipelined schedule): another in-flight
+            # item's fuse may have bound these features since dispatch —
+            # binding over them would strand the existing landmark's
+            # observation bookkeeping
+            free = (ks.obs_lm[kf, i1] < 0) & (ks.obs_lm[nb, i2] < 0)
+            i1, i2, pos, po, dist = (
+                i1[free], i2[free], pos[free], po[free], dist[free])
             if len(i1) == 0:
                 continue
             ids = lm.add(
@@ -508,6 +515,9 @@ class LocalMapper:
             dist = np.linalg.norm(po, axis=1)
             keep = dist > 1e-6
             i1, i2, pos, po, dist = i1[keep], i2[keep], pos[keep], po[keep], dist[keep]
+            free = (ks.obs_lm[kf, i1] < 0) & (ks.obs_lm[nb, i2] < 0)
+            i1, i2, pos, po, dist = (
+                i1[free], i2[free], pos[free], po[free], dist[free])
             if len(i1) == 0:
                 continue
             ids = lm.add(
@@ -711,10 +721,30 @@ class LocalMapper:
         anchor = parent if parent is not None else 0
         Tcp = (ks.Tcw[kf] @ np.linalg.inv(ks.Tcw[anchor])).astype(np.float32)
         m.dead_anchor[kf] = (anchor, Tcp)
-        for child in list(m.children.get(kf, ())):
-            new_parent = parent if parent is not None else 0
-            m.parent[child] = new_parent
-            m.children.setdefault(new_parent, set()).add(child)
+        # Reparent orphans by covisibility (KeyFrame.py:357-415 intended
+        # semantics): repeatedly hand the (child, candidate) pair with the
+        # globally strongest covisibility to that candidate parent, the
+        # adopted child joining the candidate set; children with no
+        # covisible candidate fall back to the dead KF's parent.
+        fallback = parent if parent is not None else 0
+        candidates = [fallback]
+        remaining = list(m.children.get(kf, ()))
+        while remaining:
+            best_w, best_child, best_parent = 0, None, None
+            for child in remaining:
+                for cand in candidates:
+                    w = m.covis_weight(child, cand)
+                    if w > best_w:
+                        best_w, best_child, best_parent = w, child, cand
+            if best_child is None:
+                break
+            m.parent[best_child] = best_parent
+            m.children.setdefault(best_parent, set()).add(best_child)
+            candidates.append(best_child)
+            remaining.remove(best_child)
+        for child in remaining:
+            m.parent[child] = fallback
+            m.children.setdefault(fallback, set()).add(child)
         m.children.pop(kf, None)
         if parent is not None:
             m.children.get(parent, set()).discard(kf)

@@ -83,6 +83,7 @@ class LoopCloser:
         self.prev_groups: List[Tuple[Set[int], int]] = []  # (group, count)
         self.last_loop_kf: int = -10 ** 9
         self.n_loops_closed: int = 0
+        self.n_loops_rejected: int = 0
         # sim3-ladder diagnostics; bounded so multi-thousand-KF runs
         # don't grow host memory without limit
         self.events: deque = deque(maxlen=4096)
@@ -429,6 +430,16 @@ class LoopCloser:
         lm = self.map.landmarks
         m = self.map
 
+        # geometry snapshot for the accept/rollback A/B at the end: a
+        # mis-measured Sim3 must never be allowed to make a
+        # well-conditioned map worse (round-4 evidence: one tail-end
+        # loop doubled the ATE of a 1.15-lap run).  Topology changes
+        # (landmark merges, new observations) are kept either way; only
+        # the GEOMETRY (poses + positions) is arbitrated, by the map's
+        # own reprojection chi2 on the post-fuse topology.
+        snap_Tcw = ks.Tcw[: ks.n].copy()
+        snap_pos = lm.pos[: lm.n].copy()
+
         cur_group = [kf] + m.covisible_neighbors(kf)
         Twc = np.linalg.inv(ks.Tcw[kf]).astype(np.float32)
 
@@ -457,6 +468,7 @@ class LoopCloser:
                 lm.pos[p] = _sim3_map(
                     Swi_corr, _sim3_map(Siw_old, lm.pos[p][None])
                 )[0]
+            lm.mark_dirty(ids)
             R, t, s = corrected[ki]
             Tcorr = np.eye(4, dtype=np.float32)
             Tcorr[:3, :3] = R
@@ -635,11 +647,44 @@ class LoopCloser:
                 sc = news[ref][:, None]
                 lm.pos[ids] = (np.einsum("mji,mj->mi", Rc, Pc - tc) / sc
                                ).astype(np.float32)
+                lm.mark_dirty(ids)
             for ki in range(C):
                 T = np.eye(4, dtype=np.float32)
                 T[:3, :3] = newR[ki]
                 T[:3, 3] = newt[ki] / news[ki]
                 ks.Tcw[ki] = T
+
+        # ---------------- accept / rollback A/B ----------------
+        # Evaluate corrected vs snapshot geometry on the SAME (current,
+        # post-fuse) topology; keep whichever the map's reprojection
+        # chi2 prefers.  The margin biases toward acceptance: a genuine
+        # loop closure briefly raises local chi2 until GBA polishes, so
+        # only a clearly-worse correction is rolled back.
+        t0 = time.perf_counter()
+        e_corr = m.reprojection_chi2()
+        corr_Tcw = ks.Tcw[: ks.n].copy()
+        corr_pos = lm.pos[: lm.n].copy()
+        ks.Tcw[: ks.n] = snap_Tcw
+        lm.pos[: lm.n] = snap_pos
+        e_snap = m.reprojection_chi2()
+        self.times["loop.accept_check"] += time.perf_counter() - t0
+        self.events.append(
+            f"loop:accept_check chi2_corr={e_corr:.2f} chi2_snap={e_snap:.2f}")
+        if e_corr <= 1.5 * e_snap + 0.5:
+            ks.Tcw[: ks.n] = corr_Tcw
+            lm.pos[: lm.n] = corr_pos
+            accepted = True
+        else:
+            # geometry stays at the snapshot; merged topology remains
+            # (BA's chi2 gating erases any merge the old geometry
+            # disagrees with)
+            accepted = False
+            self.n_loops_rejected += 1
+        lm.mark_dirty(np.arange(lm.n, dtype=np.int32))
+
+        if not accepted:
+            self.last_loop_kf = kf   # detection cooldown applies either way
+            return
 
         m.loop_edges.setdefault(kf, set()).add(loop_kf)
         m.loop_edges.setdefault(loop_kf, set()).add(kf)

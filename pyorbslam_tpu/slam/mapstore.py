@@ -39,6 +39,22 @@ class LandmarkStore:
         self.ref_kf = np.full(c, -1, np.int32)
         self.alive = np.zeros(c, bool)
         self.replaced_by = np.full(c, -1, np.int32)    # MapPoint.replace forwarding
+        # ids whose device-mirrored fields (pos/desc/normal/dmin/dmax/
+        # alive) were written since the last drain — every writer calls
+        # mark_dirty so the device mirror can delta-update without an
+        # O(capacity) field scan per refresh
+        self._dirty_chunks: list = []
+
+    def mark_dirty(self, ids: np.ndarray):
+        if len(ids):
+            self._dirty_chunks.append(np.asarray(ids, np.int32))
+
+    def drain_dirty(self) -> np.ndarray:
+        if not self._dirty_chunks:
+            return np.empty(0, np.int32)
+        out = np.unique(np.concatenate(self._dirty_chunks))
+        self._dirty_chunks = []
+        return out
 
     def add(
         self,
@@ -82,6 +98,7 @@ class LandmarkStore:
         self.ref_kf[ids] = ref_kf
         self.alive[ids] = True
         self.n += k
+        self.mark_dirty(ids)
         return ids
 
     def resolve(self, ids: np.ndarray) -> np.ndarray:

@@ -79,7 +79,8 @@ class SlamMap:
         self.keyframes = KeyFrameStore(
             self.keyframe_capacity, self.cfg.orb.max_keypoints
         )
-        self.times = defaultdict(float)   # BA-stage observability
+        self.times = defaultdict(float)   # BA-stage wall clock (seconds)
+        self.counters = defaultdict(int)  # BA-stage event counts
         self.core = self._make_core()
         # spanning tree (parent = strongest covisible at insertion)
         self.parent: Dict[int, int] = {}
@@ -233,6 +234,7 @@ class SlamMap:
         min_dist = max_dist / (sf ** (self.cfg.orb.n_levels - 1))
         lm.dmax[ids] = 1.2 * max_dist
         lm.dmin[ids] = 0.8 * min_dist
+        lm.mark_dirty(ids)
 
     # ------------- global bundle adjustment -------------
 
@@ -271,6 +273,48 @@ class SlamMap:
 
     # ------------- local bundle adjustment -------------
 
+    def reprojection_chi2(self, huber_delta: float = 2.7955) -> float:
+        """Mean Huberized stereo-reprojection chi2 over every live
+        observation — the map's own quality metric, used by the loop
+        corrector's accept/rollback A/B (a correction that raises this
+        on identical topology made the map worse).  delta^2 = 7.815,
+        the reference's stereo chi2 gate."""
+        ks, lm = self.keyframes, self.landmarks
+        n_kf = ks.n
+        if n_kf == 0:
+            return 0.0
+        obs = ks.obs_lm[:n_kf]
+        kf_alive = ks.alive[:n_kf, None]
+        mask = (obs >= 0) & kf_alive
+        safe = np.maximum(obs, 0)
+        mask &= lm.alive[safe]
+        ki, fi = np.nonzero(mask)
+        if len(ki) == 0:
+            return 0.0
+        ids = obs[ki, fi]
+        P = lm.pos[ids]
+        T = ks.Tcw[ki]
+        Pc = np.einsum("mij,mj->mi", T[:, :3, :3], P) + T[:, :3, 3]
+        z = np.maximum(Pc[:, 2], 1e-6)
+        c = self.cfg.camera
+        u = c.fx * Pc[:, 0] / z + c.cx
+        v = c.fy * Pc[:, 1] / z + c.cy
+        du = u - ks.kp_xy[ki, fi, 0]
+        dv = v - ks.kp_xy[ki, fi, 1]
+        ur_obs = ks.u_right[ki, fi]
+        dur = np.where(ur_obs > 0, (u - c.bf / z) - ur_obs, 0.0)
+        inv_s2 = np.asarray(self.cfg.orb.inv_level_sigma2)[
+            ks.kp_octave[ki, fi]]
+        chi2 = (du * du + dv * dv + dur * dur) * inv_s2
+        # Huber: quadratic below delta^2, linear above — one gross
+        # outlier must not dominate the map-level mean
+        d2 = huber_delta * huber_delta
+        e = np.sqrt(np.maximum(chi2, 1e-12))
+        rho = np.where(chi2 <= d2, chi2, 2.0 * huber_delta * e - d2)
+        # behind-camera observations are maximally wrong
+        rho = np.where(Pc[:, 2] <= 0, 2.0 * huber_delta * 50.0, rho)
+        return float(rho.mean())
+
     def local_ba(self, kf: int, split: bool = False) -> dict:
         """Assemble + run the Schur BA over the covisible neighborhood of
         ``kf``; write back poses/points and erase outlier observations.
@@ -286,6 +330,7 @@ class SlamMap:
             cams=cams, n_free=n_free, pnt_ids=pnt_ids,
             iters1=bacfg.local_ba_iters1, iters2=bacfg.local_ba_iters2,
             erase_outliers=True, split=split,
+            max_move=bacfg.local_ba_max_move_m,
         )
 
     @contextlib.contextmanager
@@ -298,7 +343,8 @@ class SlamMap:
 
     def _run_ba(self, cams, n_free: int, pnt_ids,
                 iters1: int, iters2: int, erase_outliers: bool,
-                engine: str = "dense", split: bool = False) -> dict:
+                engine: str = "dense", split: bool = False,
+                max_move: Optional[float] = None) -> dict:
         """Assemble bucketed fixed-shape arrays (native observation
         gather), dispatch the Schur BA (dense reduced system, or
         implicit-Schur CG for global scale), write back, optionally erase
@@ -432,11 +478,28 @@ class SlamMap:
                 bitorder="little")[:O].astype(bool)
         else:
             # dense engine: the (P, K) observation grid — scatter-free
-            # Schur assembly (optim/ba.py:BAGridProblem)
+            # Schur assembly (optim/ba.py:BAGridProblem).  K is chosen
+            # adaptively from {8, 16, 32}: the smallest width that drops
+            # no FREE-camera observation (grid rows are free-cams-first,
+            # so slots beyond K shed fixed-anchor redundancy first).
+            # Static K per bucket keeps at most 3 compiled variants;
+            # K=8 covers the common case (mean track length 2-3).
+            counts = np.bincount(op[:n_obs], minlength=P)
+            K = 8
+            if counts.max(initial=0) > 8:
+                free_counts = np.bincount(
+                    op[:n_obs][~cam_fixed[oc[:n_obs]]], minlength=P)
+                mfree = int(free_counts.max(initial=0))
+                for k_try in (16, 32):
+                    if mfree > K:
+                        K = k_try
+                dropped_free = int(np.clip(free_counts - K, 0, None).sum())
+                if dropped_free:
+                    self.counters["ba.grid_dropped_free_obs"] += dropped_free
             g_cam, g_uvr, g_isig, g_act, slot, kept, n_drop = \
-                ba.grid_from_obs(oc, op, ouvr[:n_obs], oisig[:n_obs], P)
+                ba.grid_from_obs(oc, op, ouvr[:n_obs], oisig[:n_obs], P, K=K)
             if n_drop:
-                self.times["ba.grid_dropped_obs"] += n_drop
+                self.counters["ba.grid_dropped_obs"] += n_drop
             gprob = ba.BAGridProblem(
                 cam_Tcw=jnp.asarray(cam_Tcw),
                 cam_fixed=jnp.asarray(cam_fixed),
@@ -460,7 +523,7 @@ class SlamMap:
                 op=op, okf=okf, slot=slot, kept=kept,
                 cams=cams, cam_fixed=cam_fixed, n_free=n_free,
                 pnt_ids=pnt_ids, n_obs=n_obs,
-                erase_outliers=erase_outliers,
+                erase_outliers=erase_outliers, max_move=max_move,
             )
             if split:
                 return dict(ran=True, pending=pend, n_cams=len(cams),
@@ -470,7 +533,7 @@ class SlamMap:
 
         return self._ba_writeback(
             cams, cam_fixed, n_free, pnt_ids, new_Tcw, new_pos, inlier,
-            op, okf, n_obs, erase_outliers)
+            op, okf, n_obs, erase_outliers, max_move=max_move)
 
     def local_ba_apply(self, pend: dict) -> dict:
         """Consume a split dense-BA dispatch: ONE host read, write back
@@ -490,21 +553,55 @@ class SlamMap:
         return self._ba_writeback(
             pend["cams"], pend["cam_fixed"], pend["n_free"],
             pend["pnt_ids"], new_Tcw, new_pos, inlier,
-            op, pend["okf"], pend["n_obs"], pend["erase_outliers"])
+            op, pend["okf"], pend["n_obs"], pend["erase_outliers"],
+            max_move=pend.get("max_move"))
 
     def _ba_writeback(self, cams, cam_fixed, n_free, pnt_ids,
                       new_Tcw, new_pos, inlier, op, okf, n_obs,
-                      erase_outliers) -> dict:
+                      erase_outliers, max_move=None) -> dict:
         ks = self.keyframes
+        if max_move is not None:
+            # local-BA sanity guard: a nominal refinement never moves a
+            # camera meters.  A solve that "prefers" a distant optimum is
+            # feeding on corrupted geometry (e.g. coherently mis-matched
+            # landmarks) — dropping the write-back keeps the healthy
+            # odometry poses and lets observation gating clean up
+            # instead.  Reference parity note: g2o local BA has no such
+            # guard, but it also runs f64 with strictly-local windows;
+            # large legitimate corrections arrive via the pose graph /
+            # GBA (uncapped).
+            moves = []
+            for i in range(n_free):
+                if cam_fixed[i]:
+                    continue
+                Tn, To = new_Tcw[i], ks.Tcw[cams[i]]
+                Cn = -Tn[:3, :3].T @ Tn[:3, 3]
+                Co = -To[:3, :3].T @ To[:3, 3]
+                moves.append(float(np.linalg.norm(Cn - Co)))
+            if moves and max(moves) > max_move:
+                self.counters["ba.rejected_writebacks"] += 1
+                return dict(ran=True, rejected=True, n_cams=len(cams),
+                            n_free=n_free, n_points=len(pnt_ids),
+                            n_obs=n_obs, n_erased=0,
+                            max_move=max(moves))
         for i in range(n_free):
             if not cam_fixed[i]:
                 ks.Tcw[cams[i]] = new_Tcw[i]
         self.landmarks.pos[pnt_ids] = new_pos[: len(pnt_ids)]
+        self.landmarks.mark_dirty(pnt_ids)
 
         n_erased = 0
         if erase_outliers and inlier is not None:
+            alive = self.landmarks.alive
             for o in np.nonzero(~inlier[:n_obs])[0]:
-                self.core.erase_observation(int(pnt_ids[op[o]]), int(okf[o]))
+                lm = int(pnt_ids[op[o]])
+                # apply-time guard (pipelined schedule): an interleaved
+                # fuse may have replaced/killed this landmark since the
+                # BA dispatch — the reference's equivalent erase on a
+                # replaced MapPoint is a no-op, so skip
+                if not alive[lm]:
+                    continue
+                self.core.erase_observation(lm, int(okf[o]))
                 n_erased += 1
 
         with self._t("ba.geometry"):

@@ -96,6 +96,16 @@ def _mirror_scatter(mirror, ids, rows):
     return tuple(m.at[ids].set(r) for m, r in zip(mirror, rows))
 
 
+def _handle_pending(handle) -> bool:
+    """True when a device result buffer has NOT landed on the host yet.
+    Conservative: treats handles without is_ready (numpy fallbacks) as
+    ready."""
+    try:
+        return hasattr(handle, "is_ready") and not handle.is_ready()
+    except Exception:
+        return False
+
+
 def need_new_keyframe(
     n_inliers: int, n_ref_matches: int, n_kfs: int,
     frame_id: int, last_kf_frame: int, last_reloc_frame: int,
@@ -192,6 +202,7 @@ class System:
         self._mirror_stale = True
         self._mirror_shadow = None   # host copy of the uploaded rows
         self._mirror_cap = 0
+        self._mirror_pending = np.empty(0, np.int32)  # sub-tolerance dirt
         self._frame_cache = None     # (frame, host snapshot) of the last pull
         self._vocab_cache = None     # (frame, (word, weight, node)) prefetch
         self._snap_prefetch = None   # (frame, device kf_snapshot buffer)
@@ -323,9 +334,12 @@ class System:
             row.copy_to_host_async()   # readback overlaps the next compute
         # speculative keyframe-snapshot prefetch: if this frame becomes a
         # keyframe at commit, its feature snapshot + BoW will already be
-        # on the host (skipping the ~1 round-trip stall); cadence
-        # heuristic — keyframes essentially never follow within 2 frames
-        if self.frame_id + 1 - self.last_kf_frame >= 2:
+        # on the host (skipping the ~1 round-trip stall).  Only the frame
+        # IMMEDIATELY after a keyframe skips it — on corner-dense worlds
+        # the steady-state cadence is a keyframe every 2 frames, and a
+        # >=2 gap heuristic made every other keyframe pay a blocking
+        # ~50 ms snapshot read at commit
+        if self.frame_id + 1 - self.last_kf_frame >= 1:
             self._prefetch_snapshot(frame)
         self._async_q.append(dict(
             row=row, frame=frame, base=self.Tcw.copy(),
@@ -450,7 +464,16 @@ class System:
     def window_feed(self, lefts, rights, timestamps) -> np.ndarray:
         """Feed one window; returns the poses that became FINAL with this
         call (usually the previous window's W poses; empty on the first
-        call; 2W when a bootstrap flush occurs)."""
+        call; 2W when a bootstrap flush occurs).
+
+        Operating envelope: the in-flight window scans against a map
+        frozen up to 2W-1 frames ago, so per-window camera motion must
+        stay well inside the projection-search radius at scene depth
+        (rule of thumb: <= ~2-3 m per window at KITTI-like depths).
+        Faster motion makes in-scan rows anchor on landmarks their own
+        drifted keyframes created — a compounding ratchet the deferred
+        BA repairs too late.  For fast motion use track_stereo_async
+        (per-frame map updates, same upload/compute overlap)."""
         if self.state != "OK" or self.map.keyframes.n == 0:
             done = self.window_flush()
             # bootstrap: per-frame only until initialized/recovered, then
@@ -842,13 +865,27 @@ class System:
         save_trajectory_kitti(path, self.corrected_trajectory())
 
     def activate_localization_mode(self):
+        """Freeze the map (reference System.py:106-112 stops LocalMapping):
+        drain in-flight frames and staged mapping work first so the frozen
+        map is consistent, then suppress keyframe creation.  Odometry
+        survives unmapped excursions through the mainline hybrid VO
+        queries (the reference's temporal VO points, Tracking.py:612-659)."""
+        self.flush_async()
+        self._run_maintenance_queue()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
 
     def shutdown(self):
-        pass  # synchronous pipeline: nothing to join
+        """Drain all in-flight work so every fed frame lands in the
+        trajectory, mirroring the reference's drain-before-exit
+        (System.py:149-167 joins its threads).  Covers the async
+        per-frame pipeline, a pending window, and the staged
+        keyframe-maintenance queue; idempotent."""
+        self.flush_async()
+        self.window_flush()
+        self._run_maintenance_queue()
 
     # ---------------- initialization ----------------
 
@@ -905,27 +942,44 @@ class System:
             self._mirror = tuple(jnp.asarray(h) for h in host)
             self._mirror_shadow = tuple(h.copy() for h in host)
             self._mirror_cap = cap
+            # shadow now equals host: all dirt is accounted for
+            lm.drain_dirty()
+            self.map.core.drain_dirty()
+            self._mirror_pending = np.empty(0, np.int32)
 
         if self._mirror is None or self._mirror_cap != cap:
             full_upload()
         else:
-            # float fields use a tolerance: local BA jitters thousands of
-            # point positions by fractions of a millimeter every solve,
-            # and re-uploading all of them costs more uplink than the
-            # images themselves.  The shadow holds the last UPLOADED
-            # values, so sub-tolerance drift accumulates against it and
-            # still uploads once it matters.  Tolerances are far below
-            # the matcher's search radius at any depth.
+            # INCREMENTAL refresh: every mirrored-field writer marks the
+            # ids it touched (LandmarkStore.mark_dirty; native kills are
+            # drained from mapcore), so the candidate set is O(rows
+            # written) instead of an O(capacity) field scan per refresh
+            # — the scan was a map-size-proportional per-frame host cost
+            # at 700-frame scale (VERDICT r4).
+            #
+            # Float fields then use a tolerance: local BA jitters
+            # thousands of positions by fractions of a millimeter every
+            # solve, and re-uploading all of them costs more uplink than
+            # the images themselves.  The shadow holds the last UPLOADED
+            # values; sub-tolerance ids stay in the pending set so drift
+            # accumulates against the shadow and still uploads once it
+            # matters.  Tolerances are far below the matcher's search
+            # radius at any depth.
+            cand = np.unique(np.concatenate([
+                self._mirror_pending, lm.drain_dirty(),
+                self.map.core.drain_dirty()]))
+            cand = cand[cand < cap].astype(np.int32)
             tol = dict(pos=2e-3, normal=1e-2, dmin=1e-2, dmax=1e-2)
-            changed = np.zeros(cap, bool)
+            changed = np.zeros(len(cand), bool)
             for f, s in zip(_MIRROR_FIELDS, self._mirror_shadow):
-                h = getattr(lm, f)[:cap]
+                h = getattr(lm, f)[cand]
                 if f in tol:
-                    d = np.abs(h - s) > tol[f]
+                    d = np.abs(h - s[cand]) > tol[f]
                 else:
-                    d = h != s
+                    d = h != s[cand]
                 changed |= d.any(axis=1) if d.ndim == 2 else d
-            ids = np.nonzero(changed)[0].astype(np.int32)
+            ids = cand[changed]
+            self._mirror_pending = cand[~changed]
             if len(ids) > cap // 4:
                 full_upload()
             elif len(ids):
@@ -1359,6 +1413,15 @@ class System:
             it["stage"] = "maint_dispatched"
             return
         if it["stage"] == "maint_dispatched":
+            # readiness-aware gap: the packed read was
+            # copy_to_host_async'd at dispatch; if solve + transfer have
+            # not landed yet, defer ONE extra frame instead of blocking
+            # (a fixed extra wait compounds map staleness at high
+            # keyframe cadence — observed ATE blowup at KF-per-frame)
+            if _handle_pending(it["pend"].get("handle")) \
+                    and not it.get("waited"):
+                it["waited"] = True
+                return
             with self._t("kf.maintain_apply"):
                 lmapper.maintain_apply(it["pend"])
             self._mirror_stale = True
@@ -1376,6 +1439,11 @@ class System:
             it["stage"] = "post_ba"
             return self._advance_maint_item(it)
         if it["stage"] == "ba_dispatched":
+            # same readiness-aware deferral as the maintain stage
+            if _handle_pending(it["ba_pend"].get("handle")) \
+                    and not it.get("ba_waited"):
+                it["ba_waited"] = True
+                return
             with self._t("kf.ba_apply"):
                 self.map.local_ba_apply(it["ba_pend"])
             delta = self.map.keyframes.Tcw[kf] @ np.linalg.inv(it["pre"])
