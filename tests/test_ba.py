@@ -209,3 +209,62 @@ class TestBundleAdjustCG:
         np.testing.assert_allclose(
             np.asarray(res.cam_Tcw)[0], np.asarray(prob.cam_Tcw)[0], atol=1e-7
         )
+
+
+class TestGridLongTracks:
+    """VERDICT r4 / ADVICE: points observed by more free cameras than the
+    grid width K silently lose pose constraints.  The adaptive-K path
+    (slam_map picks K in {8,16,32} so no free-camera observation drops)
+    must match the flat engine, which uses every observation."""
+
+    def test_adaptive_k_matches_flat_on_long_tracks(self):
+        rng = np.random.default_rng(5)
+        prob, T_true, pts = make_ba_problem(
+            rng, n_cam=12, n_pnt=160, noise_px=0.3, pose_noise=0.04,
+            pnt_noise=0.08)
+        oc = np.asarray(prob.obs_cam)
+        op = np.asarray(prob.obs_pnt)
+        ouvr = np.asarray(prob.obs_uvr)
+        ois = np.asarray(prob.obs_inv_sigma2)
+        cam_fixed = np.asarray(prob.cam_fixed)
+        # the production assembly order: by point, free cameras first
+        order = np.lexsort((cam_fixed[oc], op))
+        oc, op, ouvr, ois = oc[order], op[order], ouvr[order], ois[order]
+        # long tracks exist (this is the premise of the test)
+        assert np.bincount(op).max() > 8
+        P = int(prob.pnt_pos.shape[0])
+
+        def run_grid(K):
+            g_cam, g_uvr, g_isig, g_act, _, _, n_drop = ba.grid_from_obs(
+                oc, op, ouvr, ois, P, K=K)
+            gprob = ba.BAGridProblem(
+                cam_Tcw=prob.cam_Tcw, cam_fixed=prob.cam_fixed,
+                pnt_pos=prob.pnt_pos, pnt_active=prob.pnt_active,
+                g_cam=jnp.asarray(g_cam), g_uvr=jnp.asarray(g_uvr),
+                g_isig=jnp.asarray(g_isig), g_act=jnp.asarray(g_act),
+                cam=prob.cam)
+            res = ba.bundle_adjust_grid(gprob)
+            return np.asarray(res.cam_Tcw), n_drop
+
+        def cam_err(Tcw):
+            C = len(T_true)
+            err = 0.0
+            for i in range(C):
+                Ce = -Tcw[i, :3, :3].T @ Tcw[i, :3, 3]
+                Ct = -T_true[i, :3, :3].T @ T_true[i, :3, 3]
+                err += float(np.linalg.norm(Ce - Ct))
+            return err / C
+
+        flat = ba.bundle_adjust(prob)
+        e_flat = cam_err(np.asarray(flat.cam_Tcw))
+
+        cam16, drop16 = run_grid(16)
+        cam8, drop8 = run_grid(8)
+        assert drop8 > 0, "K=8 must drop on this problem (test premise)"
+        assert drop16 == 0, "K=16 must keep every obs (12-camera tracks)"
+        e16 = cam_err(cam16)
+        e8 = cam_err(cam8)
+        # the no-drop grid matches the flat engine's accuracy class
+        assert e16 < max(1.3 * e_flat, 0.01), (e16, e_flat)
+        # and never loses to the dropping grid
+        assert e16 <= e8 * 1.05 + 1e-4, (e16, e8)

@@ -143,3 +143,71 @@ class TestCulledKeyframeExport:
         ref, Tcr2 = m.resolve_ref(3, Tcr)
         assert ks.alive[ref] and ref not in m.dead_anchor
         np.testing.assert_allclose(Tcr2 @ ks.Tcw[ref], pose_before, atol=1e-5)
+
+
+class TestCovisibilityReparenting:
+    """KeyFrame.set_bad_flag intended semantics (KeyFrame.py:357-415):
+    orphans of a culled keyframe iteratively attach to their strongest
+    covisible candidate parent, adopted children joining the candidate
+    set — not blindly to the dead KF's parent."""
+
+    def _designed_map(self):
+        cfg = SlamConfig(orb=OrbConfig(n_features=128, n_levels=2))
+        m = SlamMap(cfg, landmark_capacity=512, keyframe_capacity=16)
+        nf = cfg.orb.max_keypoints
+        rng = np.random.default_rng(1)
+        frame_np = dict(
+            xy=rng.uniform(0, 100, (nf, 2)).astype(np.float32),
+            octave=np.zeros(nf, np.int32), angle=np.zeros(nf, np.float32),
+            desc=np.zeros((nf, 8), np.uint32), valid=np.ones(nf, bool),
+            u_right=np.ones(nf, np.float32), depth=np.ones(nf, np.float32),
+        )
+        ids = m.landmarks.add(
+            rng.normal(size=(68, 3)).astype(np.float32),
+            np.zeros((68, 8), np.uint32), np.tile([0, 0, 1.0], (68, 1)),
+            np.full(68, 5.0), np.zeros(68, np.int32), 1.2, 2, ref_kf=0)
+        # landmark groups -> covisibility design:
+        # w(0,1)=40 w(0,2)=40 w(1,2)=45 w(0,3)=16 w(1,3)=30 w(2,3)=25
+        groups = {
+            0: list(range(0, 40)),                        # KFs 0,1,2 (+0..15 with 3)
+            1: list(range(0, 45)) + list(range(54, 68)),  # KF 1
+            2: list(range(0, 45)) + list(range(45, 54)),  # KF 2
+            3: list(range(0, 16)) + list(range(45, 68)),  # KF 3
+        }
+        for k in range(4):
+            assign = np.full(nf, -1, np.int32)
+            sel = groups[k]
+            assign[: len(sel)] = ids[sel]
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = float(k)
+            m.add_keyframe(frame_np, T, assign, k, float(k))
+        return cfg, m
+
+    def test_orphans_adopt_strongest_covisible_candidate(self):
+        cfg, m = self._designed_map()
+        assert m.parent[1] == 0 and m.parent[2] == 1 and m.parent[3] == 1
+        assert m.covis_weight(3, 2) == 25 and m.covis_weight(3, 0) == 16
+
+        LocalMapper(cfg, m)._remove_keyframe(1)
+
+        # orphan 2 attaches to candidate 0 (w=40); once adopted, orphan 3
+        # prefers 2 (w=25) over the fallback 0 (w=16)
+        assert m.parent[2] == 0
+        assert m.parent[3] == 2
+        # spanning-tree integrity: parents alive, children lists
+        # consistent, no cycles
+        ks = m.keyframes
+        for child, parent in m.parent.items():
+            assert ks.alive[parent], (child, parent)
+            assert child in m.children.get(parent, set())
+        for kf, kids in m.children.items():
+            for c in kids:
+                assert m.parent[c] == kf
+        seen = set()
+        node, steps = 3, 0
+        while node in m.parent:
+            node = m.parent[node]
+            assert node not in seen
+            seen.add(node)
+            steps += 1
+            assert steps < 16

@@ -34,3 +34,35 @@ class TestLoopClosing:
         sysm, _ = full_loop_run
         weak = sum(1 for s in sysm.stats if s["inliers"] < 10)
         assert weak == 0
+
+
+class TestCorrectionAcceptGate:
+    def test_garbage_sim3_correction_is_rolled_back(self, full_loop_run):
+        """Loop corrections must never make the map worse (VERDICT r4:
+        one bad tail-end Sim3 doubled a well-conditioned run's ATE).
+        Feed correct() a grossly wrong Scw: the reprojection-chi2 A/B
+        must restore the snapshot geometry and count a rejection."""
+        sysm, _ = full_loop_run
+        lc = sysm.loop_closer
+        ks = sysm.map.keyframes
+        kf = ks.n - 1
+        loop_kf = 0
+        pre_Tcw = ks.Tcw[: ks.n].copy()
+        pre_closed = lc.n_loops_closed
+        pre_rejected = lc.n_loops_rejected
+
+        # garbage Sim3: true pose of kf shifted 6 m sideways, 20 deg yaw
+        bad = ks.Tcw[kf].copy()
+        c, s = np.cos(0.35), np.sin(0.35)
+        bad[:3, :3] = np.array(
+            [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32) @ bad[:3, :3]
+        bad[0, 3] += 6.0
+        Scw = (bad[:3, :3].copy(), bad[:3, 3].copy(), 1.0)
+
+        lc.correct(kf, loop_kf, Scw, match_map={})
+
+        assert lc.n_loops_rejected == pre_rejected + 1
+        assert lc.n_loops_closed == pre_closed
+        delta = np.abs(ks.Tcw[: ks.n] - pre_Tcw).max()
+        assert delta < 1e-4, f"geometry not restored (max delta {delta})"
+        assert any("accept_check" in e for e in lc.events)

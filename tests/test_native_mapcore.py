@@ -149,3 +149,36 @@ class TestNativeMapCore:
             mc2.add_keyframe(kf)
         n_pts, n_red = mc2.redundancy(0)
         assert n_pts == 4 and n_red == 0   # only 2 other observers
+
+
+class TestDirtyDrain:
+    def test_kill_and_replace_paths_report_dirty_ids(self):
+        mc, bufs = make_core()
+        bufs["alive"][:8] = True
+        # lm 0 observed by kf 0+1 (stereo => n_obs 4); lm 1 by kf 0 only
+        bufs["obs"][0, 0] = 0
+        bufs["obs"][1, 1] = 0
+        bufs["obs"][0, 2] = 1
+        mc.add_keyframe(0)
+        mc.add_keyframe(1)
+        assert list(mc.drain_dirty()) == []
+
+        mc.kill_landmark(1)
+        assert list(mc.drain_dirty()) == [1]
+        assert list(mc.drain_dirty()) == []       # drained
+
+        # support collapse inside erase_observation also reports
+        mc.erase_observation(0, 0)                # n_obs 4->2, one observer
+        assert list(mc.drain_dirty()) == [0]
+
+        # replace flips alive of the source
+        bufs["alive"][2] = bufs["alive"][3] = True
+        bufs["obs"][1, 5] = 2
+        mc.add_observation(2, 1, 5)
+        bufs["obs"][0, 6] = 3
+        mc.add_observation(3, 0, 6)
+        mc.replace_landmark(2, 3)
+        assert list(mc.drain_dirty()) == [2]
+        # double-kill of an already-dead landmark reports nothing new
+        mc.kill_landmark(2)
+        assert list(mc.drain_dirty()) == []
