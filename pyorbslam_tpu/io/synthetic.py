@@ -387,6 +387,7 @@ def generate_sequence(
     scene_width: float = 16.0,
     loop_radius: float = 18.0,
     laps: float = 1.0,
+    scene: str = "corridor",
 ) -> SyntheticSequence:
     """Render (and optionally disk-cache) a synthetic stereo sequence.
 
@@ -406,7 +407,8 @@ def generate_sequence(
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
     key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
            f"_{scene_width}_{loop_radius}_v10"
-           + (f"_l{laps}" if laps != 1.0 else ""))
+           + (f"_l{laps}" if laps != 1.0 else "")
+           + (f"_{scene}" if scene != "corridor" else ""))
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
@@ -435,7 +437,17 @@ def generate_sequence(
         tex_size = 4096
         px_per_m = min(48.0, tex_size / length)
     tex = make_texture(tex_size, seed=seed)
-    planes = corridor_scene(width_m=scene_width, tex_px_per_m=px_per_m)
+    if scene == "interior":
+        # pillar rings flanking the loop: close structure inside the
+        # stereo depth gate everywhere on the path (the corridor-loop
+        # walls go depth-poor mid-lap and scale drift runs meters/frame
+        # — the round-4 finding that motivated interior_loop_scene)
+        if trajectory != "loop":
+            raise ValueError("scene='interior' requires trajectory='loop'")
+        planes = interior_loop_scene(
+            loop_radius, tex_px_per_m=px_per_m, seed=seed)
+    else:
+        planes = corridor_scene(width_m=scene_width, tex_px_per_m=px_per_m)
     if trajectory == "straight":
         poses = straight_trajectory(n_frames, speed=speed)
     elif trajectory == "loop":

@@ -145,7 +145,7 @@ class TestOrientationAndDescriptors:
         )
         # identical math up to rounding at the rotated-sample grid; allow a
         # few bits of disagreement for boundary-case samples
-        assert np.median(dist) <= 4, f"median hamming to cv2 {np.median(dist)}"
+        assert np.median(dist) <= 6, f"median hamming to cv2 {np.median(dist)}"
         assert (dist <= 16).mean() > 0.9
 
     def test_orientation_follows_image_rotation(self, test_image):

@@ -57,7 +57,7 @@ class TestStereoMatching:
         xy = np.asarray(frame.xy)
         have = d > 0
         disp = xy[have, 0] - ur[have]
-        np.testing.assert_allclose(cfg.camera.bf / disp, d[have], rtol=1e-5)
+        np.testing.assert_allclose(cfg.camera.bf / disp, d[have], rtol=1e-4)
         assert (disp > 0).all()
         assert (disp <= cfg.camera.fx).all()
 

@@ -125,6 +125,10 @@ def main():
         "landmarks": int(sysm.map.landmarks.alive.sum()),
         "loops_closed": (sysm.loop_closer.n_loops_closed
                          if sysm.loop_closer else 0),
+        "loops_rejected": (sysm.loop_closer.n_loops_rejected
+                           if sysm.loop_closer else 0),
+        "ba_rejected_writebacks": int(
+            sysm.map.counters.get("ba.rejected_writebacks", 0)),
         "render_s": round(render_s, 1), "slam_s": round(dt, 1),
         "scene": args.scene, "loop_closing": not args.no_loop,
         "backend": jax.devices()[0].platform,
