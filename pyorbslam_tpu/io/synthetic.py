@@ -123,7 +123,7 @@ def corridor_scene(width_m: float = 16.0, ground_y: float = 1.7,
 
 
 # bump when any scene/render code changes — keys the per-frame cache
-_SCENE_VERSION = "v4"
+_SCENE_VERSION = "v5"
 
 
 def interior_loop_scene(radius: float, ground_y: float = 1.7,
@@ -406,7 +406,7 @@ def generate_sequence(
     fx = 0.58 * width  # KITTI-like FOV  [generate_sequence]
     K = np.array([[fx, 0, width / 2.0], [0, fx, height / 2.0 - 10.0], [0, 0, 1]])
     key = (f"{n_frames}_{width}_{height}_{baseline}_{trajectory}_{speed}_{seed}"
-           f"_{scene_width}_{loop_radius}_v10"
+           f"_{scene_width}_{loop_radius}_v11"
            + (f"_l{laps}" if laps != 1.0 else "")
            + (f"_{scene}" if scene != "corridor" else ""))
     cache_path = None
@@ -431,7 +431,7 @@ def generate_sequence(
     # along z (observed: 6 m keyframe jump at frame ~90 of a 100-frame
     # run)
     if trajectory == "loop":
-        tex_size, px_per_m = 2048, 2048.0 / (4.0 * loop_radius + 16.0)
+        tex_size, px_per_m = 4096, 4096.0 / (4.0 * loop_radius + 16.0)
     else:
         length = n_frames * speed + 60.0
         tex_size = 4096
@@ -498,14 +498,14 @@ class SyntheticStream:
     def __post_init__(self):
         scene_width = 16.0
         if self.trajectory == "loop" and self.scene == "interior":
-            tex_size = 2048
-            px_per_m = 2048.0 / (4.0 * self.loop_radius + 16.0)
+            tex_size = 4096
+            px_per_m = 4096.0 / (4.0 * self.loop_radius + 16.0)
         elif self.trajectory == "loop":
             scene_width = 2 * self.loop_radius + 12.0
-            tex_size = 2048
-            px_per_m = 2048.0 / (4.0 * self.loop_radius + 16.0)
+            tex_size = 4096
+            px_per_m = 4096.0 / (4.0 * self.loop_radius + 16.0)
         else:
-            tex_size, px_per_m = 1024, 48.0
+            tex_size, px_per_m = 4096, 48.0
             x_extent = float(np.abs(
                 straight_trajectory(self.n_frames,
                                     speed=self.speed)[:, 0, 3]).max())

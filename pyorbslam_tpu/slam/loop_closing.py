@@ -670,7 +670,12 @@ class LoopCloser:
         self.times["loop.accept_check"] += time.perf_counter() - t0
         self.events.append(
             f"loop:accept_check chi2_corr={e_corr:.2f} chi2_snap={e_snap:.2f}")
-        if e_corr <= 1.5 * e_snap + 0.5:
+        # margin calibration (observed events, v10/v11 worlds): harmful
+        # corrections score chi2_corr/chi2_snap >= 2.8 (worst cases 25-55);
+        # genuine loops score <= 1.7 (great ones << 1).  2.5x splits the
+        # gap — biased toward acceptance because a genuine loop also buys
+        # the loop EDGE the essential graph needs later
+        if e_corr <= 2.5 * e_snap + 0.5:
             ks.Tcw[: ks.n] = corr_Tcw
             lm.pos[: lm.n] = corr_pos
             accepted = True
