@@ -494,6 +494,7 @@ class SyntheticStream:
     laps: float = 1.0
     scene: str = "corridor"   # "corridor" | "interior" (pillar rings)
     cache_dir: Optional[str] = None   # per-frame render cache (npz)
+    render_backend: str = "numpy"     # "numpy" | "jax" (io/render_jax.py)
 
     def __post_init__(self):
         scene_width = 16.0
@@ -541,7 +542,10 @@ class SyntheticStream:
         path = None
         if self.cache_dir is not None:
             os.makedirs(self.cache_dir, exist_ok=True)
-            key = (f"{self.trajectory}_{self.scene}{_SCENE_VERSION}_"
+            # a world is rendered entirely by ONE backend (pixel-exact
+            # parity across backends is not guaranteed): distinct keys
+            bk = "" if self.render_backend == "numpy" else "jx_"
+            key = (f"{self.trajectory}_{self.scene}{_SCENE_VERSION}_{bk}"
                    f"{self.width}x{self.height}_{self.loop_radius}_"
                    f"{self.laps}_{self.seed}_{self.n_frames}_{i}")
             path = os.path.join(self.cache_dir, f"sf_{key}.npz")
@@ -549,14 +553,23 @@ class SyntheticStream:
                 d = np.load(path)
                 return d["l"], d["r"]
         Twc = self.poses_wc[i]
-        left = render_view(Twc, self.K, self.width, self.height,
-                           self._planes, self._tex)
         Twc_r = Twc.copy()
         Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array(
             [self.baseline, 0.0, 0.0])
-        right = render_view(Twc_r, self.K, self.width, self.height,
-                            self._planes, self._tex)
-        lu, ru = _to_u8(left), _to_u8(right)
+        if self.render_backend == "jax":
+            if not hasattr(self, "_jax_renderer"):
+                from pyorbslam_tpu.io.render_jax import JaxRenderer
+                self._jax_renderer = JaxRenderer(self._planes, self._tex)
+            lu = self._jax_renderer.render(
+                Twc, self.K, self.width, self.height)
+            ru = self._jax_renderer.render(
+                Twc_r, self.K, self.width, self.height)
+        else:
+            left = render_view(Twc, self.K, self.width, self.height,
+                               self._planes, self._tex)
+            right = render_view(Twc_r, self.K, self.width, self.height,
+                                self._planes, self._tex)
+            lu, ru = _to_u8(left), _to_u8(right)
         if path is not None:
             np.savez_compressed(path, l=lu, r=ru)
         return lu, ru

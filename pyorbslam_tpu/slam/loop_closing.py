@@ -89,6 +89,19 @@ class LoopCloser:
         # don't grow host memory without limit
         self.events: deque = deque(maxlen=4096)
         self.times = defaultdict(float)   # per-stage wall clock
+        # Sim3-failure cooldown: candidate covisibility groups that just
+        # failed geometric verification are skipped for a few keyframes.
+        # On visually-aliased worlds the SAME region re-enters the
+        # consistency window every keyframe; without the cooldown each
+        # doomed region costs the full RANSAC+refine ladder per KF (the
+        # dominant loop-stage cost at scale).  The reference pays ~0 for
+        # a failed attempt (cheap CPU RANSAC); here it is device round
+        # trips.  A genuine loop is delayed at most SIM3_FAIL_COOLDOWN
+        # keyframes — the same order as the 3-consecutive consistency
+        # window it already waits for.
+        self._sim3_fail: deque = deque(maxlen=32)   # (group:Set[int], kf)
+
+    SIM3_FAIL_COOLDOWN = 3   # keyframes
 
     # ------------------------------ detection ------------------------------
 
@@ -156,7 +169,22 @@ class LoopCloser:
 
     def compute_sim3(self, kf: int, candidates: List[int]):
         """Returns (loop_kf, Scw=(R,t,s), matched landmark map feat->lm) or None."""
+        # skip candidate regions that failed geometric verification in
+        # the last SIM3_FAIL_COOLDOWN keyframes (see __post_init__)
+        if self._sim3_fail:
+            kept = []
+            for cand in candidates:
+                group = set(self.map.covisible_neighbors(cand)) | {cand}
+                if any(kf - k0 <= self.SIM3_FAIL_COOLDOWN and (group & g)
+                       for g, k0 in self._sim3_fail):
+                    self.events.append((kf, cand, "cooldown", 0))
+                else:
+                    kept.append(cand)
+            candidates = kept
+            if not candidates:
+                return None
         candidates = candidates[: self.MAX_SIM3_CANDIDATES]
+        attempted: List[int] = []   # candidates that reached geometry
         ks = self.map.keyframes
         lm = self.map.landmarks
         cam = self.cfg.camera
@@ -181,12 +209,14 @@ class LoopCloser:
         cand_ok = np.stack([
             ks.kp_valid[c] & (clm >= 0) & lm.alive[np.maximum(clm, 0)]
             for c, clm in zip(sel, cand_lms)])
+        t_bow = time.perf_counter()
         idx_b, matched_b = (np.asarray(a) for a in self._match_bow_batch(
             jnp.asarray(ks.kp_desc[kf]), jnp.asarray(ks.kp_node[kf]),
             jnp.asarray(cur_ok),
             jnp.asarray(ks.kp_desc[sel]), jnp.asarray(ks.kp_node[sel]),
             jnp.asarray(cand_ok),
         ))
+        self.times["loop.sim3_bow"] += time.perf_counter() - t_bow
 
         for ci, cand in enumerate(candidates):
             cand_lm = cand_lms[ci]
@@ -196,6 +226,16 @@ class LoopCloser:
             self.events.append((kf, cand, "bow_pairs", len(qi)))
             if len(qi) < 20:
                 continue
+            attempted.append(cand)
+            # RANSAC shapes come from a 2-size ladder (128 / 512): every
+            # distinct correspondence count would otherwise compile a
+            # fresh program (tens of seconds each through the remote
+            # tunnel); past 512 pairs the minimal-set solver gains
+            # nothing from more — subsample deterministically
+            if len(qi) > 512:
+                rs = np.random.default_rng(kf * 1315423911 + cand)
+                keep = np.sort(rs.choice(len(qi), 512, replace=False))
+                qi, fi = qi[keep], fi[keep]
 
             T1, T2 = ks.Tcw[kf], ks.Tcw[cand]
             L1 = cur_lm[qi]
@@ -209,12 +249,7 @@ class LoopCloser:
             s2_2 = sigma2[ks.kp_octave[cand, fi]]
             n = len(qi)
 
-            # pad the correspondence count to a bucket: every distinct n
-            # would otherwise compile a fresh RANSAC program (observed as
-            # seconds per candidate through the remote tunnel)
-            B = 64
-            while B < n:
-                B <<= 1
+            B = 128 if n <= 128 else 512
             pad = B - n
 
             def _p(a, fill=0.0):
@@ -222,6 +257,7 @@ class LoopCloser:
                     [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) \
                     if pad else a
 
+            t_sub = time.perf_counter()
             res = sim3_ransac(
                 jnp.asarray(_p(X1c)), jnp.asarray(_p(X2c)),
                 jnp.asarray(_p(uv1)), jnp.asarray(_p(uv2)),
@@ -230,10 +266,12 @@ class LoopCloser:
                 jax.random.PRNGKey(kf),
                 with_scale=False,
             )
+            res_ok = bool(res.ok)
+            self.times["loop.sim3_ransac"] += time.perf_counter() - t_sub
             self.events.append((
                 kf, cand, "ransac",
-                int(np.asarray(res.inliers).sum()) if bool(res.ok) else -1))
-            if not bool(res.ok):
+                int(np.asarray(res.inliers).sum()) if res_ok else -1))
+            if not res_ok:
                 continue
 
             # grow correspondences by MUTUAL Sim3 projection between the
@@ -243,9 +281,11 @@ class LoopCloser:
             inl = np.asarray(res.inliers)[:n]
             seed_q = qi[inl]
             seed_f = fi[inl]
+            t_sub = time.perf_counter()
             grown12 = self._search_by_sim3(
                 kf, cand, np.asarray(res.R), np.asarray(res.t),
                 float(res.s), seed_q, seed_f)
+            self.times["loop.sim3_grow"] += time.perf_counter() - t_sub
 
             N = ks.obs_lm.shape[1]
             pair_f = np.full(N, -1, np.int32)
@@ -282,6 +322,7 @@ class LoopCloser:
                 isig1[g1] = 1.0 / sigma2[ks.kp_octave[kf, g1]]
                 isig2[g1] = 1.0 / sigma2[ks.kp_octave[cand, g2]]
 
+            t_sub = time.perf_counter()
             opt = optimize_sim3(
                 res.R, res.t, res.s,
                 jnp.asarray(X1), jnp.asarray(X2),
@@ -289,8 +330,10 @@ class LoopCloser:
                 jnp.asarray(isig1), jnp.asarray(isig2),
                 jnp.asarray(active), cam4, th2=10.0, fix_scale=True,
             )
-            self.events.append((kf, cand, "sim3_opt", int(opt.n_inliers)))
-            if int(opt.n_inliers) < 20:
+            n_opt_inl = int(opt.n_inliers)
+            self.times["loop.sim3_opt"] += time.perf_counter() - t_sub
+            self.events.append((kf, cand, "sim3_opt", n_opt_inl))
+            if n_opt_inl < 20:
                 continue
 
             # Scm maps candidate-camera coords into current-camera coords
@@ -311,11 +354,18 @@ class LoopCloser:
             # loop-region point cloud into the current KF with Scw
             # (search_by_projection_ckf_scw_mp, th=10, TH_LOW) and count
             # total MATCHES — the reference accepts at >= 40 matches
+            t_sub = time.perf_counter()
             n_total = len(match_map) + self._project_loop_points(
                 kf, cand, Scw, match_map)
+            self.times["loop.sim3_proj"] += time.perf_counter() - t_sub
             self.events.append((kf, cand, "total_matches", n_total))
             if n_total >= 40:
                 return cand, Scw, match_map
+        # every geometric attempt failed: cool their regions down so the
+        # next few keyframes don't re-run the same doomed ladder
+        for cand in attempted:
+            self._sim3_fail.append(
+                (set(self.map.covisible_neighbors(cand)) | {cand}, kf))
         return None
 
     def _search_by_sim3(self, kf: int, cand: int, R12, t12, s12,

@@ -36,6 +36,11 @@ def main():
                          "depth gate (the drift-then-repair world)")
     ap.add_argument("--no-loop", action="store_true",
                     help="disable loop closing (odometry-drift ablation)")
+    ap.add_argument("--render-backend", default="numpy",
+                    choices=["numpy", "jax"],
+                    help="jax = io/render_jax.py on the device (distinct "
+                         "stream-cache key; pre-render with "
+                         "tools/prerender.py --backend jax)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +59,7 @@ def main():
     stream = SyntheticStream(
         n_frames=args.frames, width=args.width, height=args.height,
         trajectory="loop", loop_radius=args.radius, laps=args.laps,
-        scene=args.scene,
+        scene=args.scene, render_backend=args.render_backend,
         cache_dir=os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "tests", "_data", "stream_cache"))
     cfg = SlamConfig(
@@ -133,6 +138,7 @@ def main():
             sysm.map.counters.get("ba.rejected_writebacks", 0)),
         "render_s": round(render_s, 1), "slam_s": round(dt, 1),
         "scene": args.scene, "loop_closing": not args.no_loop,
+        "render_backend": args.render_backend,
         "backend": jax.devices()[0].platform,
     }))
 
