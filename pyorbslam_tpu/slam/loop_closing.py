@@ -167,22 +167,27 @@ class LoopCloser:
 
         return jax.vmap(one)(cand_desc, cand_node, cand_ok)
 
+    def _cooldown_filter(self, kf: int, candidates: List[int]) -> List[int]:
+        """Drop candidates whose covisibility group failed geometric
+        verification within the last SIM3_FAIL_COOLDOWN keyframes
+        (see __post_init__)."""
+        if not self._sim3_fail:
+            return candidates
+        kept = []
+        for cand in candidates:
+            group = set(self.map.covisible_neighbors(cand)) | {cand}
+            if any(kf - k0 <= self.SIM3_FAIL_COOLDOWN and (group & g)
+                   for g, k0 in self._sim3_fail):
+                self.events.append((kf, cand, "cooldown", 0))
+            else:
+                kept.append(cand)
+        return kept
+
     def compute_sim3(self, kf: int, candidates: List[int]):
         """Returns (loop_kf, Scw=(R,t,s), matched landmark map feat->lm) or None."""
-        # skip candidate regions that failed geometric verification in
-        # the last SIM3_FAIL_COOLDOWN keyframes (see __post_init__)
-        if self._sim3_fail:
-            kept = []
-            for cand in candidates:
-                group = set(self.map.covisible_neighbors(cand)) | {cand}
-                if any(kf - k0 <= self.SIM3_FAIL_COOLDOWN and (group & g)
-                       for g, k0 in self._sim3_fail):
-                    self.events.append((kf, cand, "cooldown", 0))
-                else:
-                    kept.append(cand)
-            candidates = kept
-            if not candidates:
-                return None
+        candidates = self._cooldown_filter(kf, candidates)
+        if not candidates:
+            return None
         candidates = candidates[: self.MAX_SIM3_CANDIDATES]
         attempted: List[int] = []   # candidates that reached geometry
         ks = self.map.keyframes

@@ -79,3 +79,45 @@ class TestNegativeLoopClosure:
         track = np.linalg.norm(
             np.diff(poses[:n, :3, 3], axis=0), axis=1).sum()
         assert ate < 0.05 * track, (ate, track)
+
+
+class TestSim3FailCooldown:
+    """Unit test of the Sim3 failure cooldown (loop_closing.py:
+    _cooldown_filter): a candidate region that just failed geometric
+    verification is skipped for SIM3_FAIL_COOLDOWN keyframes, then
+    eligible again.  At scale the repeated doomed RANSAC ladder was the
+    dominant loop-stage cost (EVAL_SCALE_R5_115_LOOP.log: loop.sim3
+    107 s of a 396 s run)."""
+
+    def _closer(self):
+        import types
+
+        from pyorbslam_tpu.slam.loop_closing import LoopCloser
+
+        lc = LoopCloser.__new__(LoopCloser)
+        lc.__class__ = LoopCloser
+        # only the fields the filter touches
+        LoopCloser.__post_init__(lc)
+        lc.map = types.SimpleNamespace(
+            covisible_neighbors=lambda k, n=10: [k - 1, k + 1])
+        return lc
+
+    def test_cooled_candidate_skipped_then_expires(self):
+        lc = self._closer()
+        lc._sim3_fail.append(({5, 6, 7}, 10))
+        # overlapping group within the window -> dropped
+        assert lc._cooldown_filter(11, [6]) == []
+        assert lc._cooldown_filter(10 + lc.SIM3_FAIL_COOLDOWN, [6]) == []
+        # window expired -> eligible again
+        assert lc._cooldown_filter(
+            11 + lc.SIM3_FAIL_COOLDOWN, [6]) == [6]
+        # cooldown event was recorded for the judge trail
+        assert any(e[2] == "cooldown" for e in lc.events
+                   if isinstance(e, tuple))
+
+    def test_disjoint_region_not_affected(self):
+        lc = self._closer()
+        lc._sim3_fail.append(({5, 6, 7}, 10))
+        # candidate 42's group {41, 42, 43} shares nothing with the
+        # failed region -> passes through inside the window
+        assert lc._cooldown_filter(11, [42]) == [42]
