@@ -496,24 +496,22 @@ class SlamMap:
                 dropped_free = int(np.clip(free_counts - K, 0, None).sum())
                 if dropped_free:
                     self.counters["ba.grid_dropped_free_obs"] += dropped_free
-            g_cam, g_uvr, g_isig, g_act, slot, kept, n_drop = \
-                ba.grid_from_obs(oc, op, ouvr[:n_obs], oisig[:n_obs], P, K=K)
+            # packed upload (grid_pack_from_obs): i16 cam ids, 1/16-px
+            # i16 fixed-point (u, v, u_r), u8 octaves with the
+            # inv-sigma2 lookup on device — half the bytes per dispatch
+            g_cam, g_uvrq, g_oct, g_act, slot, kept, n_drop = \
+                ba.grid_pack_from_obs(oc, op, ouvr[:n_obs],
+                                      ks.kp_octave[okf, oft], P, K=K)
             if n_drop:
                 self.counters["ba.grid_dropped_obs"] += n_drop
-            gprob = ba.BAGridProblem(
-                cam_Tcw=jnp.asarray(cam_Tcw),
-                cam_fixed=jnp.asarray(cam_fixed),
-                pnt_pos=jnp.asarray(pnt_pos),
-                pnt_active=jnp.asarray(pnt_active),
-                g_cam=jnp.asarray(g_cam),
-                g_uvr=jnp.asarray(g_uvr),
-                g_isig=jnp.asarray(g_isig),
-                g_act=jnp.asarray(g_act),
-                cam=cam5,
-            )
             with self._t("ba.solve"):
-                res = ba.bundle_adjust_grid(gprob, iters1=iters1,
-                                            iters2=iters2)
+                res = ba.bundle_adjust_grid_packed(
+                    jnp.asarray(cam_Tcw), jnp.asarray(cam_fixed),
+                    jnp.asarray(pnt_pos), jnp.asarray(pnt_active),
+                    jnp.asarray(g_cam), jnp.asarray(g_uvrq),
+                    jnp.asarray(g_oct), jnp.asarray(g_act), cam5,
+                    jnp.asarray(inv_sigma2, jnp.float32),
+                    iters1=iters1, iters2=iters2)
                 handle = _pack_ba_result(res.cam_Tcw, res.pnt_pos,
                                          res.g_inlier.reshape(-1))
                 if hasattr(handle, "copy_to_host_async"):

@@ -268,3 +268,54 @@ class TestGridLongTracks:
         assert e16 < max(1.3 * e_flat, 0.01), (e16, e_flat)
         # and never loses to the dropping grid
         assert e16 <= e8 * 1.05 + 1e-4, (e16, e8)
+
+
+class TestPackedGridUpload:
+    """bundle_adjust_grid_packed (i16/u8 upload, device-side unpack) must
+    match bundle_adjust_grid on the same problem: identical math, half
+    the host->device bytes, <=1/32 px quantization on (u, v, u_r)."""
+
+    def test_packed_matches_unpacked(self):
+        rng = np.random.default_rng(11)
+        prob, T_true, pts = make_ba_problem(
+            rng, n_cam=10, n_pnt=120, noise_px=0.3, pose_noise=0.03,
+            pnt_noise=0.06)
+        oc = np.asarray(prob.obs_cam)
+        op = np.asarray(prob.obs_pnt)
+        ouvr = np.asarray(prob.obs_uvr)
+        cam_fixed = np.asarray(prob.cam_fixed)
+        # per-observation octaves + the production per-octave table
+        table = (1.0 / 1.44 ** np.arange(8)).astype(np.float32)
+        oct_ = rng.integers(0, 8, len(oc)).astype(np.uint8)
+        ois = table[oct_]
+        order = np.lexsort((cam_fixed[oc], op))
+        oc, op, ouvr, ois, oct_ = (a[order] for a in
+                                   (oc, op, ouvr, ois, oct_))
+        P = int(prob.pnt_pos.shape[0])
+        K = 12
+
+        g_cam, g_uvr, g_isig, g_act, slot, kept, nd = ba.grid_from_obs(
+            oc, op, ouvr, ois, P, K=K)
+        ref = ba.bundle_adjust_grid(ba.BAGridProblem(
+            cam_Tcw=prob.cam_Tcw, cam_fixed=prob.cam_fixed,
+            pnt_pos=prob.pnt_pos, pnt_active=prob.pnt_active,
+            g_cam=jnp.asarray(g_cam), g_uvr=jnp.asarray(g_uvr),
+            g_isig=jnp.asarray(g_isig), g_act=jnp.asarray(g_act),
+            cam=prob.cam))
+
+        p_cam, p_uvrq, p_oct, p_act, slot2, kept2, nd2 = \
+            ba.grid_pack_from_obs(oc, op, ouvr, oct_, P, K=K)
+        assert nd2 == nd and np.array_equal(kept2, kept)
+        assert p_uvrq.dtype == np.int16 and p_cam.dtype == np.int16
+        got = ba.bundle_adjust_grid_packed(
+            prob.cam_Tcw, prob.cam_fixed, prob.pnt_pos, prob.pnt_active,
+            jnp.asarray(p_cam), jnp.asarray(p_uvrq), jnp.asarray(p_oct),
+            jnp.asarray(p_act), prob.cam, jnp.asarray(table))
+
+        ref_T, got_T = np.asarray(ref.cam_Tcw), np.asarray(got.cam_Tcw)
+        for i in range(len(ref_T)):
+            Cr = -ref_T[i, :3, :3].T @ ref_T[i, :3, 3]
+            Cg = -got_T[i, :3, :3].T @ got_T[i, :3, 3]
+            assert np.linalg.norm(Cr - Cg) < 2e-3, (i, Cr, Cg)
+        agree = (np.asarray(ref.g_inlier) == np.asarray(got.g_inlier))
+        assert agree.mean() > 0.99

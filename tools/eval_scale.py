@@ -91,6 +91,11 @@ def main():
                 f"{k}={v:.1f}s" for k, v in sorted(
                     sysm.loop_closer.times.items(), key=lambda kv: -kv[1])),
                 flush=True)
+        if sysm.map.times:
+            print("  map:    " + "  ".join(
+                f"{k}={v:.1f}s" for k, v in sorted(
+                    sysm.map.times.items(), key=lambda kv: -kv[1])[:6]),
+                flush=True)
 
     if W == 0:
         # pipelined per-frame schedule (the deployment default)
